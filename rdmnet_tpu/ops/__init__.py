@@ -1,0 +1,20 @@
+from rdmnet_tpu.ops.geometry import (  # noqa: F401
+    apply_rotation,
+    apply_transform,
+    get_rotation_translation_from_transform,
+    get_transform_from_rotation_translation,
+    inverse_transform,
+    pairwise_sq_dist,
+    rodrigues_rotation,
+    skew_symmetric,
+    take_padded,
+    vector_angle,
+)
+from rdmnet_tpu.ops.grid_subsample import grid_subsample  # noqa: F401
+from rdmnet_tpu.ops.radius_search import radius_knn  # noqa: F401
+from rdmnet_tpu.ops.partition import (  # noqa: F401
+    knn_partition,
+    point_to_node_partition,
+)
+from rdmnet_tpu.ops.procrustes import weighted_procrustes  # noqa: F401
+from rdmnet_tpu.ops.nms import greedy_nms  # noqa: F401

@@ -1,0 +1,40 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set env vars before jax initializes its backends.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The env var alone is not honored when a TPU plugin (axon) is present;
+# the config update is.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(7351)
+
+
+def _demo_scan(name):
+    path = f"/root/reference/assets/pc/{name}"
+    if not os.path.exists(path):
+        pytest.skip("demo scans unavailable")
+    return np.load(path)[:, :3].astype(np.float32)
+
+
+@pytest.fixture
+def demo_pair():
+    """The two bundled KITTI demo scans (read-only public assets)."""
+    return _demo_scan("000000.npy"), _demo_scan("000004.npy")

@@ -1,0 +1,228 @@
+"""Golden-value tests for core ops vs small numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rdmnet_tpu.ops import (
+    apply_transform,
+    grid_subsample,
+    greedy_nms,
+    inverse_transform,
+    pairwise_sq_dist,
+    point_to_node_partition,
+    radius_knn,
+    rodrigues_rotation,
+    take_padded,
+    weighted_procrustes,
+)
+from rdmnet_tpu.ops.geometry import get_transform_from_rotation_translation
+
+
+def random_transform(rng, max_angle=np.pi, max_trans=5.0):
+    axis = rng.randn(3)
+    angle = rng.rand() * max_angle
+    r = np.asarray(rodrigues_rotation(jnp.asarray(axis, jnp.float32), jnp.float32(angle)))
+    t = rng.randn(3).astype(np.float32) * max_trans
+    tf = np.eye(4, dtype=np.float32)
+    tf[:3, :3] = r
+    tf[:3, 3] = t
+    return tf
+
+
+class TestGeometry:
+    def test_pairwise_sq_dist(self, rng):
+        x = rng.randn(17, 3).astype(np.float32)
+        y = rng.randn(23, 3).astype(np.float32)
+        got = np.asarray(pairwise_sq_dist(jnp.asarray(x), jnp.asarray(y)))
+        want = ((x[:, None] - y[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_pairwise_sq_dist_normalized(self, rng):
+        x = rng.randn(9, 8).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        y = rng.randn(5, 8).astype(np.float32)
+        y /= np.linalg.norm(y, axis=1, keepdims=True)
+        got = np.asarray(pairwise_sq_dist(jnp.asarray(x), jnp.asarray(y), normalized=True))
+        want = ((x[:, None] - y[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_apply_and_inverse_transform(self, rng):
+        tf = random_transform(rng)
+        pts = rng.randn(50, 3).astype(np.float32)
+        moved = apply_transform(jnp.asarray(pts), jnp.asarray(tf))
+        back = apply_transform(moved, inverse_transform(jnp.asarray(tf)))
+        np.testing.assert_allclose(np.asarray(back), pts, atol=1e-4)
+
+    def test_take_padded_sentinel(self):
+        x = jnp.arange(12.0).reshape(4, 3)
+        idx = jnp.array([0, 3, 4, 100])  # 4 and 100 are out of range
+        got = np.asarray(take_padded(x, idx))
+        np.testing.assert_allclose(got[0], [0, 1, 2])
+        np.testing.assert_allclose(got[1], [9, 10, 11])
+        np.testing.assert_allclose(got[2], 0.0)
+        np.testing.assert_allclose(got[3], 0.0)
+
+
+class TestGridSubsample:
+    def _oracle(self, pts, voxel):
+        """Voxel-centroid oracle mirroring the C++ semantics."""
+        origin = np.floor(pts.min(0) / voxel) * voxel
+        coords = np.floor((pts - origin) / voxel).astype(np.int64)
+        out = {}
+        for p, c in zip(pts, coords):
+            out.setdefault(tuple(c), []).append(p)
+        return np.array(sorted((np.mean(v, 0) for v in out.values()), key=tuple))
+
+    def test_matches_oracle(self, rng):
+        pts = (rng.rand(200, 3) * 10).astype(np.float32)
+        n = 150
+        voxel = 1.0
+        sub, cnt = grid_subsample(jnp.asarray(pts), jnp.int32(n), voxel, cap=160)
+        cnt = int(cnt)
+        got = np.asarray(sub)[:cnt]
+        want = self._oracle(pts[:n], voxel)
+        assert cnt == len(want)
+        got_sorted = np.array(sorted(got, key=tuple))
+        np.testing.assert_allclose(got_sorted, want, atol=1e-4)
+
+    def test_padding_is_far(self, rng):
+        pts = rng.rand(64, 3).astype(np.float32)
+        sub, cnt = grid_subsample(jnp.asarray(pts), jnp.int32(64), 0.5, cap=64)
+        cnt = int(cnt)
+        assert np.all(np.asarray(sub)[cnt:] > 1e8)
+
+    def test_jit_and_empty(self):
+        pts = jnp.zeros((16, 3))
+        fn = jax.jit(lambda p, n: grid_subsample(p, n, 0.5, cap=8))
+        sub, cnt = fn(pts, jnp.int32(0))
+        assert int(cnt) == 0
+
+
+class TestRadiusKnn:
+    def test_matches_oracle(self, rng):
+        s = (rng.rand(100, 3) * 4).astype(np.float32)
+        q = (rng.rand(40, 3) * 4).astype(np.float32)
+        radius, k = 1.0, 8
+        idx = np.asarray(radius_knn(jnp.asarray(q), jnp.asarray(s), jnp.int32(100), radius, k))
+        d = ((q[:, None] - s[None]) ** 2).sum(-1)
+        for i in range(len(q)):
+            within = np.where(d[i] <= radius**2)[0]
+            order = within[np.argsort(d[i][within], kind="stable")][:k]
+            got = idx[i][idx[i] < 100]
+            assert len(got) == len(order)
+            # distances must match (index ties allowed)
+            np.testing.assert_allclose(d[i][got], d[i][order], atol=1e-5)
+
+    def test_sentinel_fill(self, rng):
+        s = rng.rand(10, 3).astype(np.float32) + 100.0
+        q = np.zeros((3, 3), np.float32)
+        idx = np.asarray(radius_knn(jnp.asarray(q), jnp.asarray(s), jnp.int32(10), 1.0, 4))
+        assert np.all(idx == 10)
+
+    def test_chunked_equals_unchunked(self, rng):
+        s = (rng.rand(300, 3) * 4).astype(np.float32)
+        q = (rng.rand(500, 3) * 4).astype(np.float32)
+        a = np.asarray(radius_knn(jnp.asarray(q), jnp.asarray(s), jnp.int32(300), 1.0, 8, chunk_size=128))
+        b = np.asarray(radius_knn(jnp.asarray(q), jnp.asarray(s), jnp.int32(300), 1.0, 8, chunk_size=4096))
+        np.testing.assert_array_equal(a, b)
+
+    def test_invalid_support_excluded(self, rng):
+        s = np.zeros((10, 3), np.float32)
+        q = np.zeros((1, 3), np.float32)
+        idx = np.asarray(radius_knn(jnp.asarray(q), jnp.asarray(s), jnp.int32(4), 1.0, 8))
+        valid = idx[0][idx[0] < 10]
+        assert np.all(valid < 4)
+
+
+class TestPointToNodePartition:
+    def test_oracle(self, rng):
+        pts = rng.rand(60, 3).astype(np.float32)
+        nodes = rng.rand(7, 3).astype(np.float32)
+        pmask = np.arange(60) < 50
+        nmask = np.arange(7) < 6
+        p2n, node_masks, knn_idx, knn_masks = point_to_node_partition(
+            jnp.asarray(pts), jnp.asarray(pmask), jnp.asarray(nodes), jnp.asarray(nmask), 16
+        )
+        p2n, node_masks = np.asarray(p2n), np.asarray(node_masks)
+        knn_idx, knn_masks = np.asarray(knn_idx), np.asarray(knn_masks)
+
+        d = ((nodes[:, None] - pts[None]) ** 2).sum(-1)
+        d[~nmask] = 1e12
+        want_p2n = d[:, :50].argmin(0)
+        np.testing.assert_array_equal(p2n[:50], want_p2n)
+        # node 6 is invalid -> masked out
+        assert not node_masks[6]
+        for m in range(6):
+            owned = np.where(want_p2n == m)[0]
+            assert node_masks[m] == (len(owned) > 0)
+            got = knn_idx[m][knn_masks[m]]
+            assert set(got) == set(owned[np.argsort(d[m][owned])][:16])
+        # sentinel where masked
+        assert np.all(knn_idx[~knn_masks] == 60)
+
+
+class TestProcrustes:
+    def test_exact_recovery(self, rng):
+        tf = random_transform(rng)
+        src = rng.randn(30, 3).astype(np.float32)
+        ref = np.asarray(apply_transform(jnp.asarray(src), jnp.asarray(tf)))
+        est = np.asarray(weighted_procrustes(jnp.asarray(src), jnp.asarray(ref)))
+        np.testing.assert_allclose(est, tf, atol=1e-4)
+
+    def test_zero_weight_outliers_ignored(self, rng):
+        tf = random_transform(rng)
+        src = rng.randn(30, 3).astype(np.float32)
+        ref = np.asarray(apply_transform(jnp.asarray(src), jnp.asarray(tf)))
+        ref_noisy = ref.copy()
+        ref_noisy[25:] += 100.0
+        w = np.ones(30, np.float32)
+        w[25:] = 0.0
+        est = np.asarray(
+            weighted_procrustes(jnp.asarray(src), jnp.asarray(ref_noisy), jnp.asarray(w))
+        )
+        np.testing.assert_allclose(est, tf, atol=1e-4)
+
+    def test_batched(self, rng):
+        tfs = np.stack([random_transform(rng) for _ in range(5)])
+        src = rng.randn(5, 20, 3).astype(np.float32)
+        ref = np.asarray(apply_transform(jnp.asarray(src), jnp.asarray(tfs)))
+        est = np.asarray(weighted_procrustes(jnp.asarray(src), jnp.asarray(ref)))
+        np.testing.assert_allclose(est, tfs, atol=1e-4)
+
+    def test_reflection_guard(self):
+        # planar degenerate configuration should still return det(R)=+1
+        src = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], jnp.float32)
+        ref = src.at[:, 0].multiply(-1.0)
+        est = np.asarray(weighted_procrustes(src, ref))
+        assert np.linalg.det(est[:3, :3]) > 0.99
+
+
+class TestGreedyNMS:
+    def _oracle(self, nodes, mask, radius):
+        keep = np.zeros(len(nodes), bool)
+        for i in range(len(nodes)):
+            if not mask[i]:
+                continue
+            d = np.linalg.norm(nodes - nodes[i], axis=1)
+            neighbors = (d <= radius) & mask & keep
+            neighbors[i] = False
+            keep[i] = not neighbors.any()
+        return keep
+
+    def test_matches_sequential_oracle(self, rng):
+        nodes = (rng.rand(80, 3) * 5).astype(np.float32)
+        mask = rng.rand(80) > 0.2
+        got = np.asarray(greedy_nms(jnp.asarray(nodes), jnp.asarray(mask), 1.0))
+        want = self._oracle(nodes, mask, 1.0)
+        np.testing.assert_array_equal(got, want)
+
+    def test_survivors_are_separated(self, rng):
+        nodes = (rng.rand(50, 3) * 3).astype(np.float32)
+        mask = np.ones(50, bool)
+        keep = np.asarray(greedy_nms(jnp.asarray(nodes), jnp.asarray(mask), 1.0))
+        kept = nodes[keep]
+        d = np.linalg.norm(kept[:, None] - kept[None], axis=-1)
+        np.fill_diagonal(d, 10.0)
+        assert d.min() > 1.0
