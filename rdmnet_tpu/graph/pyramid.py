@@ -1,0 +1,166 @@
+"""On-device multi-scale pyramid builder (jittable, static shapes).
+
+TPU-native replacement for the reference's collate-time precompute
+(reference: geotransformer/utils/data.py:13-77 precompute_data_stack_mode):
+for each pyramid level, voxel-subsample (voxel doubling per level) and build
+three padded index tables:
+
+* ``neighbors[i]``   — level-i points' radius neighbors within level i,
+* ``subsampling[i]`` — level-(i+1) points' radius neighbors within level i
+  (pooling table for strided KPConv),
+* ``upsampling[i]``  — level-i points' radius·2 neighbors within level i+1
+  (nearest-upsample table for the decoder),
+
+with the same radius-doubling schedule and sentinel-index padding. The
+reference runs this on CPU in DataLoader workers over a kd-tree; here the
+whole build is one jitted XLA program (sorts + MXU-tiled distance top-k) so
+it runs on-chip as the first stage of the model step — no host round trip.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rdmnet_tpu.config import PyramidConfig
+from rdmnet_tpu.ops.grid_subsample import grid_subsample
+from rdmnet_tpu.ops.radius_search import radius_knn
+
+
+@struct.dataclass
+class CloudPyramid:
+    """Static-shape pyramid of one point cloud.
+
+    All index tables use the sentinel convention: an index equal to the
+    capacity of the indexed level means "missing".
+    """
+
+    points: Tuple[jnp.ndarray, ...]       # level i: (cap_i, 3)
+    counts: Tuple[jnp.ndarray, ...]       # level i: () int32
+    neighbors: Tuple[jnp.ndarray, ...]    # level i: (cap_i, K_i) into level i
+    subsampling: Tuple[jnp.ndarray, ...]  # i: (cap_{i+1}, K_i) into level i
+    upsampling: Tuple[jnp.ndarray, ...]   # i: (cap_i, K_{i+1}) into level i+1
+
+    @property
+    def num_stages(self) -> int:
+        return len(self.points)
+
+    def mask(self, level: int) -> jnp.ndarray:
+        cap = self.points[level].shape[0]
+        return jnp.arange(cap, dtype=jnp.int32) < self.counts[level]
+
+
+@struct.dataclass
+class PairBatch:
+    """One registration pair (ref, src) plus ground truth, fully padded."""
+
+    ref: CloudPyramid
+    src: CloudPyramid
+    ref_feats: jnp.ndarray   # (cap_0, C_in) input features (ones for LiDAR)
+    src_feats: jnp.ndarray
+    transform: jnp.ndarray   # (4, 4) GT: src -> ref
+
+
+def build_cloud_pyramid(
+    points: jnp.ndarray,
+    count: jnp.ndarray,
+    spec: PyramidConfig,
+) -> CloudPyramid:
+    """Build the full pyramid for one padded cloud.
+
+    Args:
+      points: (cap_0, 3) padded points (pad rows anywhere; they are ignored
+        via ``count`` — but by convention pads sit at the end with far-away
+        sentinel coordinates).
+      count: () int32 number of valid points.
+      spec: static pyramid spec (capacities, neighbor limits, radii).
+    """
+    assert points.shape[0] == spec.caps[0], (
+        f"level-0 capacity mismatch: {points.shape[0]} vs {spec.caps[0]}"
+    )
+    pts = [points]
+    cnts = [count.astype(jnp.int32)]
+
+    # Voxel subsampling: level i is subsampled at voxel_size * 2^i
+    # (reference: utils/data.py:23-29 — the first doubling happens before
+    # the first subsample call).
+    voxel = spec.voxel_size
+    for i in range(1, spec.num_stages):
+        voxel *= 2.0
+        p, c = grid_subsample(pts[-1], cnts[-1], voxel, spec.caps[i])
+        pts.append(p)
+        cnts.append(c)
+
+    # Radius searches with radius doubling (reference: utils/data.py:31-69).
+    radius = spec.search_radius
+    neighbors = []
+    subsampling = []
+    upsampling = []
+    for i in range(spec.num_stages):
+        neighbors.append(
+            radius_knn(pts[i], pts[i], cnts[i], radius, spec.neighbor_limits[i])
+        )
+        if i < spec.num_stages - 1:
+            subsampling.append(
+                radius_knn(pts[i + 1], pts[i], cnts[i], radius, spec.neighbor_limits[i])
+            )
+            upsampling.append(
+                radius_knn(
+                    pts[i], pts[i + 1], cnts[i + 1], radius * 2.0,
+                    spec.neighbor_limits[i + 1],
+                )
+            )
+        radius *= 2.0
+
+    return CloudPyramid(
+        points=tuple(pts),
+        counts=tuple(cnts),
+        neighbors=tuple(neighbors),
+        subsampling=tuple(subsampling),
+        upsampling=tuple(upsampling),
+    )
+
+
+def pad_cloud(points: jnp.ndarray, cap: int, pad_coord: float = 1.0e9):
+    """Pad/truncate an (N, 3) cloud to (cap, 3) with far-away pad rows.
+
+    Host-side convenience (numpy in, numpy out is fine under jit tracing too).
+    """
+    n = min(points.shape[0], cap)
+    out = jnp.full((cap, 3), pad_coord, dtype=jnp.float32)
+    out = out.at[:n].set(points[:n])
+    return out, jnp.int32(n)
+
+
+def build_pair_batch(
+    ref_points: jnp.ndarray,
+    ref_count: jnp.ndarray,
+    src_points: jnp.ndarray,
+    src_count: jnp.ndarray,
+    transform: jnp.ndarray,
+    spec: PyramidConfig,
+    input_dim: int = 1,
+) -> PairBatch:
+    """Build both pyramids of a registration pair (jittable).
+
+    Input features are all-ones as in the reference KITTI datasets
+    (reference: rdmnet/datasets/registration/kitti/dataset.py:188-189),
+    zeroed on pad rows.
+    """
+    ref = build_cloud_pyramid(ref_points, ref_count, spec)
+    src = build_cloud_pyramid(src_points, src_count, spec)
+    cap0 = spec.caps[0]
+    ref_feats = (jnp.arange(cap0)[:, None] < ref_count).astype(jnp.float32)
+    src_feats = (jnp.arange(cap0)[:, None] < src_count).astype(jnp.float32)
+    ref_feats = jnp.tile(ref_feats, (1, input_dim))
+    src_feats = jnp.tile(src_feats, (1, input_dim))
+    return PairBatch(
+        ref=ref,
+        src=src,
+        ref_feats=ref_feats,
+        src_feats=src_feats,
+        transform=transform.astype(jnp.float32),
+    )
