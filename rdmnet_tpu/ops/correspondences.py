@@ -1,0 +1,165 @@
+"""Ground-truth correspondence generation (dense, static-shape, on device).
+
+Re-design of reference geotransformer/modules/registration/matching.py:
+
+* ``node_correspondence_overlaps`` (reference get_node_correspondences,
+  matching.py:251-366) returns a dense (M, N) overlap matrix. The reference's
+  dynamic candidate list (sphere-intersection nonzero) becomes a static
+  top-C candidate selection + chunked overlap computation;
+* ``mutual_nearest_node_masks`` (reference get_node_correspondences_disance,
+  matching.py:440-504) — mutual-NN masks for the vote loss;
+* ``radius_correspondence_masks`` — per-point "has a partner within radius"
+  labels, replacing the CPU scipy cKDTree round-trip in the reference's
+  overlap losses (reference experiments/loss.py:92,151 →
+  geotransformer/utils/registration.py:203-216).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rdmnet_tpu.ops.geometry import apply_transform, pairwise_sq_dist
+
+_BIG = 1.0e12
+
+
+def node_correspondence_overlaps(
+    ref_nodes: jnp.ndarray,
+    src_nodes: jnp.ndarray,
+    ref_knn_points: jnp.ndarray,
+    src_knn_points: jnp.ndarray,
+    transform: jnp.ndarray,
+    pos_radius: float,
+    ref_masks: jnp.ndarray,
+    src_masks: jnp.ndarray,
+    ref_knn_masks: jnp.ndarray,
+    src_knn_masks: jnp.ndarray,
+    num_candidates: int = 3072,
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """Dense GT patch-overlap matrix (M, N).
+
+    overlap(i, j) = mean of (fraction of patch-i points with a patch-j point
+    within pos_radius, and vice versa), computed only for candidate pairs
+    whose enclosing spheres intersect (reference matching.py:311-342).
+    """
+    m, k, _ = ref_knn_points.shape
+    n = src_nodes.shape[0]
+
+    src_nodes_t = apply_transform(src_nodes, transform)
+    src_knn_t = apply_transform(src_knn_points.reshape(-1, 3), transform).reshape(n, k, 3)
+
+    # enclosing-sphere radii (masked knn dists)
+    ref_d = jnp.linalg.norm(ref_knn_points - ref_nodes[:, None, :], axis=-1)
+    ref_rmax = jnp.max(jnp.where(ref_knn_masks, ref_d, 0.0), axis=1)  # (M,)
+    src_d = jnp.linalg.norm(src_knn_t - src_nodes_t[:, None, :], axis=-1)
+    src_rmax = jnp.max(jnp.where(src_knn_masks, src_d, 0.0), axis=1)  # (N,)
+
+    node_dist = jnp.sqrt(pairwise_sq_dist(ref_nodes, src_nodes_t))
+    margin = ref_rmax[:, None] + src_rmax[None, :] + pos_radius - node_dist
+    pair_mask = (margin > 0) & ref_masks[:, None] & src_masks[None, :]
+
+    # static candidate set: top-C pairs by margin
+    num_candidates = min(num_candidates, m * n)
+    flat = jnp.where(pair_mask, margin, -_BIG).reshape(-1)
+    top_vals, cand = jax.lax.top_k(flat, num_candidates)
+    cand_valid = top_vals > -_BIG / 2
+    cand_ref = (cand // n).astype(jnp.int32)
+    cand_src = (cand % n).astype(jnp.int32)
+
+    def pair_overlap(args):
+        ri, si, ok = args
+        rp = ref_knn_points[ri]        # (K, 3)
+        sp = src_knn_t[si]             # (K, 3)
+        rm = ref_knn_masks[ri]
+        sm = src_knn_masks[si]
+        d2 = pairwise_sq_dist(rp, sp)
+        d2 = jnp.where(rm[:, None] & sm[None, :], d2, _BIG)
+        hit = d2 < pos_radius**2
+        ref_cov = jnp.sum(jnp.any(hit, axis=1).astype(jnp.float32))
+        src_cov = jnp.sum(jnp.any(hit, axis=0).astype(jnp.float32))
+        ref_ov = ref_cov / jnp.maximum(jnp.sum(rm.astype(jnp.float32)), 1.0)
+        src_ov = src_cov / jnp.maximum(jnp.sum(sm.astype(jnp.float32)), 1.0)
+        return jnp.where(ok, 0.5 * (ref_ov + src_ov), 0.0)
+
+    # chunked vmap over candidates to bound memory (chunk*K*K floats)
+    num_chunks = -(-num_candidates // chunk)
+    pad = num_chunks * chunk - num_candidates
+    cr = jnp.pad(cand_ref, (0, pad)).reshape(num_chunks, chunk)
+    cs = jnp.pad(cand_src, (0, pad)).reshape(num_chunks, chunk)
+    cv = jnp.pad(cand_valid, (0, pad)).reshape(num_chunks, chunk)
+    overlaps = jax.lax.map(jax.vmap(pair_overlap), (cr, cs, cv)).reshape(-1)[
+        :num_candidates
+    ]
+
+    dense = jnp.zeros((m, n), jnp.float32)
+    dense = dense.at[cand_ref, cand_src].max(
+        jnp.where(cand_valid, overlaps, 0.0), mode="drop"
+    )
+    return dense
+
+
+def mutual_nearest_node_masks(
+    ref_nodes: jnp.ndarray,
+    src_nodes: jnp.ndarray,
+    transform: jnp.ndarray,
+    pos_radius: float,
+    ref_masks: jnp.ndarray,
+    src_masks: jnp.ndarray,
+) -> jnp.ndarray:
+    """(M, N) bool: each side's nearest neighbor within pos_radius
+    (reference get_node_correspondences_disance, matching.py:470-504).
+    NOTE: the reference compares *squared* distance against the unsquared
+    radius (matching.py:488-494) — reproduced bug-for-bug so the vote loss
+    sees identical labels.
+    """
+    m, n = ref_nodes.shape[0], src_nodes.shape[0]
+    src_t = apply_transform(src_nodes, transform)
+    sq = pairwise_sq_dist(ref_nodes, src_t)
+    sq = jnp.where(ref_masks[:, None] & src_masks[None, :], sq, _BIG)
+
+    masks = jnp.zeros((m, n), bool)
+    ref_min = jnp.min(sq, axis=1)
+    ref_arg = jnp.argmin(sq, axis=1)
+    masks = masks.at[jnp.arange(m), ref_arg].set(ref_min < pos_radius)
+    src_min = jnp.min(sq, axis=0)
+    src_arg = jnp.argmin(sq, axis=0)
+    cur = masks[src_arg, jnp.arange(n)]
+    masks = masks.at[src_arg, jnp.arange(n)].set(cur | (src_min < pos_radius))
+    return masks & ref_masks[:, None] & src_masks[None, :]
+
+
+def radius_correspondence_masks(
+    ref_points: jnp.ndarray,
+    src_points_t: jnp.ndarray,
+    ref_mask: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    radius: float,
+    chunk: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-point overlap labels: True iff some valid point of the other
+    (already transformed) cloud lies within ``radius``. On-device
+    replacement for the reference's scipy cKDTree correspondence labels
+    (experiments/loss.py:92,151)."""
+
+    def min_dist_rows(q_tile, s_points, s_valid):
+        d2 = pairwise_sq_dist(q_tile, s_points)
+        d2 = jnp.where(s_valid[None, :], d2, _BIG)
+        return jnp.min(d2, axis=1)
+
+    def chunked_min(q, s, s_valid):
+        nq = q.shape[0]
+        num_chunks = -(-nq // chunk)
+        padq = jnp.pad(q, ((0, num_chunks * chunk - nq), (0, 0)))
+        tiles = padq.reshape(num_chunks, chunk, 3)
+        mins = jax.lax.map(functools.partial(min_dist_rows, s_points=s, s_valid=s_valid), tiles)
+        return mins.reshape(-1)[:nq]
+
+    r2 = radius * radius
+    ref_min = chunked_min(ref_points, src_points_t, src_mask)
+    src_min = chunked_min(src_points_t, ref_points, ref_mask)
+    return (ref_min < r2) & ref_mask, (src_min < r2) & src_mask
