@@ -1,0 +1,81 @@
+"""Benchmark: registered pairs/sec for the full inference pipeline on one chip.
+
+Measures the steady-state throughput of the complete RDMNet pipeline — the
+ENTIRE job runs on device in one jitted program: pyramid/graph construction
+(which the reference does on CPU in DataLoader workers), KPConv backbone,
+two transformer stages, vote+NMS, Sinkhorn OT, and local-to-global
+registration with SVD — over the bundled KITTI demo pair at full (KITTI
+training) static capacities.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). We
+use an estimated reference end-to-end rate of 2.0 pairs/sec (GPU forward
+~0.2-0.4 s + CPU collate precompute ~0.2-0.4 s for ~20k-point KITTI clouds
+on the reference's torch 1.8 stack); vs_baseline = ours / 2.0.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+ASSUMED_REFERENCE_PAIRS_PER_SEC = 2.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rdmnet_tpu.config import make_cfg
+    from rdmnet_tpu.graph.pyramid import build_pair_batch, pad_cloud
+    from rdmnet_tpu.models import RDMNet
+
+    cfg = make_cfg()
+    model = RDMNet(cfg)
+
+    ref = np.load("/root/reference/assets/pc/000000.npy")[:, :3].astype(np.float32)
+    src = np.load("/root/reference/assets/pc/000004.npy")[:, :3].astype(np.float32)
+    cap = cfg.pyramid.caps[0]
+    rp, rc = pad_cloud(jnp.asarray(ref), cap)
+    sp, sc = pad_cloud(jnp.asarray(src), cap)
+    eye = jnp.eye(4)
+
+    @jax.jit
+    def init(key):
+        batch = build_pair_batch(rp, rc, sp, sc, eye, cfg.pyramid)
+        return model.init(key, batch, training=False, with_gt=False)
+
+    @jax.jit
+    def pipeline(params, rp, rc, sp, sc):
+        batch = build_pair_batch(rp, rc, sp, sc, eye, cfg.pyramid)
+        out = model.apply(params, batch, training=False, with_gt=False)
+        return out["estimated_transform"], out["corr_scores"]
+
+    params = init(jax.random.PRNGKey(0))
+    # warmup / compile
+    tf, _ = pipeline(params, rp, rc, sp, sc)
+    jax.block_until_ready(tf)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        tf, scores = pipeline(params, rp, rc, sp, sc)
+    jax.block_until_ready(tf)
+    dt = (time.perf_counter() - t0) / iters
+
+    pairs_per_sec = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "registered_pairs_per_sec_per_chip",
+                "value": round(pairs_per_sec, 4),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / ASSUMED_REFERENCE_PAIRS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Shared CLI helpers: model/param setup, padded->dynamic output trimming."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rdmnet_tpu.config import Config
+from rdmnet_tpu.engine.checkpoint import CheckpointManager
+from rdmnet_tpu.engine.train_step import create_train_state
+from rdmnet_tpu.graph.pyramid import build_pair_batch, pad_cloud
+from rdmnet_tpu.models import RDMNet
+
+
+def build_model_and_params(
+    cfg: Config, snapshot_dir: Optional[str] = None, epoch: Optional[int] = None
+):
+    """Create the model; load params from a snapshot if given, else random
+    init (reference testers resolve snapshots by epoch,
+    base_tester.py:54-58)."""
+    model = RDMNet(cfg)
+    rng = np.random.RandomState(0)
+    pts = (rng.rand(256, 3) * 10).astype(np.float32)
+    rp, rc = pad_cloud(jnp.asarray(pts), cfg.pyramid.caps[0])
+    example = build_pair_batch(rp, rc, rp, rc, jnp.eye(4), cfg.pyramid)
+    params = model.init(jax.random.PRNGKey(cfg.seed), example, training=False, with_gt=False)
+
+    if snapshot_dir and os.path.isdir(snapshot_dir):
+        state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed), example)
+        mgr = CheckpointManager(snapshot_dir)
+        state, meta = mgr.restore(state, step=epoch)
+        params = state.params
+    return model, params
+
+
+def make_pair_batch_np(cfg: Config, ref_points: np.ndarray, src_points: np.ndarray, transform: np.ndarray):
+    cap = cfg.pyramid.caps[0]
+    rp, rc = pad_cloud(jnp.asarray(ref_points), cap)
+    sp, sc = pad_cloud(jnp.asarray(src_points), cap)
+    return build_pair_batch(rp, rc, sp, sc, jnp.asarray(transform), cfg.pyramid)
+
+
+def trim_outputs(out: Dict, transform: np.ndarray) -> Dict[str, np.ndarray]:
+    """Convert padded static outputs to the reference's dynamic npz schema
+    (reference experiments/test.py:70-98): masked rows dropped, node indices
+    remapped to the trimmed node arrays, GT overlaps densified to (C, 2)
+    index + overlap lists."""
+    o = {k: np.asarray(v) for k, v in out.items() if hasattr(v, "shape")}
+
+    ref_nv = o["nodes_ref_valid"]
+    src_nv = o["nodes_src_valid"]
+    ref_remap = np.cumsum(ref_nv) - 1
+    src_remap = np.cumsum(src_nv) - 1
+
+    result = {
+        "ref_points": o["ref_points_f"][o["ref_mask_f"]],   # level-1 points
+        "src_points": o["src_points_f"][o["src_mask_f"]],
+        "ref_points_f": o["ref_points_f"][o["ref_mask_f"]],
+        "src_points_f": o["src_points_f"][o["src_mask_f"]],
+        "ref_points_c": o["nodes_ref"][ref_nv],
+        "src_points_c": o["nodes_src"][src_nv],
+        "ref_feats_c": o["ref_feats_c"][ref_nv],
+        "src_feats_c": o["src_feats_c"][src_nv],
+        "transform": np.asarray(transform),
+    }
+
+    cv = o["node_corr_valid"]
+    result["ref_node_corr_indices"] = ref_remap[o["ref_node_corr_indices"][cv]]
+    result["src_node_corr_indices"] = src_remap[o["src_node_corr_indices"][cv]]
+
+    if "gt_node_corr_overlaps" in o:
+        ov = o["gt_node_corr_overlaps"]
+        ri, si = np.nonzero(ov > 0)
+        result["gt_node_corr_indices"] = np.stack(
+            [ref_remap[ri], src_remap[si]], axis=1
+        )
+        result["gt_node_corr_overlaps"] = ov[ri, si]
+
+    if "corr_scores" in o:
+        sel = o["corr_scores"] > 0
+        result["ref_corr_points"] = o["ref_corr_points"][sel]
+        result["src_corr_points"] = o["src_corr_points"][sel]
+        result["corr_scores"] = o["corr_scores"][sel]
+    if "estimated_transform" in o:
+        result["estimated_transform"] = o["estimated_transform"]
+    return result

@@ -1,0 +1,172 @@
+"""Offline evaluation over dumped .npz features (reference:
+experiments/eval.py:27-308).
+
+Reproduces the reference's reporting quirks exactly:
+* pair seq 8 / src frame 15 is skipped (eval.py:93-95);
+* RRE/RTE are averaged over ACCEPTED pairs only (eval.py:229-237);
+* PMR tiers at >0 / >=0.1 / >=0.3 / >=0.5 coarse precision;
+* registration methods: lgr (dumped transform), svd (weighted Procrustes on
+  the dumped correspondences), ransac (numpy Procrustes-RANSAC).
+
+Usage:
+    python -m rdmnet_tpu.cli.eval --feature_dir DIR [--method lgr|svd|ransac]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os.path as osp
+
+import numpy as np
+
+from rdmnet_tpu.config import make_cfg
+from rdmnet_tpu.engine.meters import SummaryBoard
+from rdmnet_tpu.utils.metrics_np import (
+    compute_registration_error,
+    evaluate_correspondences,
+    evaluate_sparse_correspondences,
+)
+from rdmnet_tpu.utils.se3_np import apply_transform
+
+
+def procrustes_np(src, ref, weights=None):
+    if weights is None:
+        weights = np.ones(len(src))
+    w = weights / (weights.sum() + 1e-12)
+    mu_s = (src * w[:, None]).sum(0)
+    mu_r = (ref * w[:, None]).sum(0)
+    h = (src - mu_s).T @ ((ref - mu_r) * w[:, None])
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    tf = np.eye(4)
+    tf[:3, :3] = r
+    tf[:3, 3] = mu_r - r @ mu_s
+    return tf
+
+
+def ransac_np(src, ref, weights, num_iterations=5000, num_samples=4, threshold=0.3, seed=0):
+    rng = np.random.RandomState(seed)
+    n = len(src)
+    best_tf, best_inliers = np.eye(4), -1
+    if n < num_samples:
+        return procrustes_np(src, ref, weights)
+    for _ in range(num_iterations):
+        idx = rng.choice(n, num_samples, replace=False)
+        tf = procrustes_np(src[idx], ref[idx])
+        res = np.linalg.norm(ref - apply_transform(src, tf), axis=1)
+        inliers = int((res < threshold).sum())
+        if inliers > best_inliers:
+            best_inliers, best_tf = inliers, tf
+    res = np.linalg.norm(ref - apply_transform(src, best_tf), axis=1)
+    mask = res < threshold
+    if mask.sum() >= 3:
+        best_tf = procrustes_np(src[mask], ref[mask])
+    return best_tf
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--feature_dir", required=True)
+    parser.add_argument("--method", default="lgr", choices=["lgr", "svd", "ransac"])
+    parser.add_argument("--num_corr", type=int, default=None)
+    parser.add_argument("--ransac_iterations", type=int, default=50000)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    cfg = make_cfg()
+    coarse_meter = SummaryBoard()
+    fine_meter = SummaryBoard()
+    reg_meter = SummaryBoard()
+    accepted_rre, accepted_rte = [], []
+    fail_cases = []
+
+    files = sorted(glob.glob(osp.join(args.feature_dir, "*.npz")))
+    for i, fname in enumerate(files):
+        parts = osp.splitext(osp.basename(fname))[0].split("_")
+        seq_id = parts[0]
+        src_frame, ref_frame = int(parts[1]), int(parts[2])
+        # reference skips this corrupted pair (eval.py:93-95)
+        if seq_id == "8" and src_frame == 15:
+            continue
+
+        d = np.load(fname)
+        gt_transform = d["transform"]
+        ref_corr = d["ref_corr_points"]
+        src_corr = d["src_corr_points"]
+        corr_scores = d["corr_scores"]
+
+        if args.num_corr is not None and len(corr_scores) > args.num_corr:
+            sel = np.argsort(-corr_scores)[: args.num_corr]
+            ref_corr, src_corr, corr_scores = ref_corr[sel], src_corr[sel], corr_scores[sel]
+
+        # coarse metrics
+        c = evaluate_sparse_correspondences(
+            len(d["ref_points_c"]), len(d["src_points_c"]),
+            d["ref_node_corr_indices"], d["src_node_corr_indices"],
+            d["gt_node_corr_indices"],
+        )
+        coarse_meter.update("precision", c["precision"])
+        for tier, thr in [(">0", 0.0), (">=0.1", 0.1), (">=0.3", 0.3), (">=0.5", 0.5)]:
+            coarse_meter.update(
+                f"PMR{tier}",
+                float(c["precision"] > thr if thr > 0 else c["precision"] > 0),
+            )
+
+        # fine metrics
+        f = evaluate_correspondences(
+            ref_corr, src_corr, gt_transform,
+            positive_radius=cfg.eval.acceptance_radius,
+        )
+        fine_meter.update("inlier_ratio", f["inlier_ratio"])
+        fine_meter.update("overlap", f["overlap"])
+        fine_meter.update("num_corr", f["num_corr"])
+        fine_meter.update(
+            "recall", float(f["inlier_ratio"] >= cfg.eval.inlier_ratio_threshold)
+        )
+
+        # registration
+        if args.method == "lgr":
+            est = d["estimated_transform"]
+        elif args.method == "svd":
+            est = procrustes_np(src_corr, ref_corr, corr_scores)
+        else:
+            est = ransac_np(
+                src_corr, ref_corr, corr_scores,
+                num_iterations=args.ransac_iterations,
+                num_samples=cfg.ransac.num_points,
+                threshold=cfg.ransac.distance_threshold,
+            )
+
+        rre, rte, rx, ry, rz = compute_registration_error(gt_transform, est)
+        accepted = rre < cfg.eval.rre_threshold and rte < cfg.eval.rte_threshold
+        reg_meter.update("recall", float(accepted))
+        if accepted:
+            # reference averages RRE/RTE over accepted pairs only (eval.py:229-237)
+            accepted_rre.append(rre)
+            accepted_rte.append(rte)
+            reg_meter.update("rx", rx)
+            reg_meter.update("ry", ry)
+            reg_meter.update("rz", rz)
+        else:
+            fail_cases.append(f"{seq_id}_{src_frame}_{ref_frame}")
+
+        if args.verbose:
+            print(f"[{i + 1}/{len(files)}] {osp.basename(fname)}: "
+                  f"RRE {rre:.3f} RTE {rte:.3f} accepted={accepted}")
+
+    print(f"== eval ({args.method}) over {len(files)} pairs ==")
+    print("coarse:", coarse_meter.format())
+    print("fine:  ", fine_meter.format())
+    print(
+        f"reg:    RR: {reg_meter.mean('recall') * 100:.2f}%, "
+        f"RRE: {np.mean(accepted_rre) if accepted_rre else float('nan'):.4f} deg, "
+        f"RTE: {np.mean(accepted_rte) * 100 if accepted_rte else float('nan'):.2f} cm"
+    )
+    if fail_cases:
+        print("failed pairs:", fail_cases)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Quick-demo inference over the bundled scan pairs (reference:
+experiments/infer.py:19-129): predicts correspondences + relative pose,
+writes KITTI-format pose lines and per-pair npz.
+
+Usage:
+    python -m rdmnet_tpu.cli.infer [--snapshot_dir DIR] [--asset_dir DIR]
+                                   [--output_dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+
+import jax
+import numpy as np
+
+from rdmnet_tpu.config import make_cfg
+from rdmnet_tpu.cli.common import build_model_and_params, make_pair_batch_np, trim_outputs
+from rdmnet_tpu.data.datasets import RegistrationPairDataset
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--snapshot_dir", default=None)
+    parser.add_argument("--test_epoch", type=int, default=None)
+    parser.add_argument("--asset_dir", default="/root/reference/assets/pc")
+    parser.add_argument("--output_dir", default="output/infer")
+    args = parser.parse_args()
+
+    cfg = make_cfg()
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    dataset = RegistrationPairDataset(
+        "kitti", root=args.asset_dir, subset="infer", demo_asset_dir=args.asset_dir
+    )
+    model, params = build_model_and_params(cfg, args.snapshot_dir, args.test_epoch)
+
+    @jax.jit
+    def forward(params, batch):
+        return model.apply(params, batch, training=False, with_gt=False)
+
+    pose_lines = []
+    for i in range(len(dataset)):
+        item = dataset[i]
+        batch = make_pair_batch_np(cfg, item["ref_points"], item["src_points"], np.eye(4, dtype=np.float32))
+        out = forward(params, batch)
+        dumped = trim_outputs(out, np.eye(4, dtype=np.float32))
+        est = dumped["estimated_transform"]
+
+        name = f"{item['seq_id']}_{item['src_frame']}_{item['ref_frame']}"
+        np.savez_compressed(osp.join(args.output_dir, name + ".npz"), **dumped)
+        # KITTI 12-float pose line (reference infer.py:68-110)
+        pose_lines.append(" ".join(f"{v:.6f}" for v in est[:3].reshape(-1)))
+        print(
+            f"pair {item['src_frame']}->{item['ref_frame']}: "
+            f"{len(dumped['corr_scores'])} correspondences\n{est}"
+        )
+
+    with open(osp.join(args.output_dir, f"{dataset.metadata[0]['seq_id']:02d}_pose"), "w") as f:
+        f.write("\n".join(pose_lines) + "\n")
+    print(f"wrote {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

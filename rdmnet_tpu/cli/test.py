@@ -1,0 +1,89 @@
+"""Test-set evaluation + per-pair feature dump (reference:
+experiments/test.py:19-115): runs the model over the chosen dataset's test
+split, logs PIR/IR/RRE/RTE/RR, and writes reference-schema .npz files for
+the offline eval CLI.
+
+Usage:
+    python -m rdmnet_tpu.cli.test --dataset kitti --root /data/KITTI \
+        [--snapshot_dir DIR] [--test_epoch N] [--feature_dir DIR]
+
+MulRan disables the vote branch at inference (reference test.py:107-108).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import os.path as osp
+
+import jax
+import numpy as np
+
+from rdmnet_tpu.config import make_cfg
+from rdmnet_tpu.cli.common import build_model_and_params, make_pair_batch_np, trim_outputs
+from rdmnet_tpu.data.datasets import RegistrationPairDataset
+from rdmnet_tpu.engine.meters import SummaryBoard, Timer
+from rdmnet_tpu.losses import Evaluator
+from rdmnet_tpu.graph.pyramid import PairBatch
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", default="kitti",
+                        choices=["kitti", "kitti360", "apollo", "mulran"])
+    parser.add_argument("--root", required=True)
+    parser.add_argument("--snapshot_dir", default=None)
+    parser.add_argument("--test_epoch", type=int, default=None)
+    parser.add_argument("--feature_dir", default=None)
+    parser.add_argument("--subset", default="test")
+    args = parser.parse_args()
+
+    cfg = make_cfg()
+    if args.dataset == "mulran":
+        # vote disabled at inference for MulRan (reference test.py:107-108)
+        cfg = cfg.replace(vote=dataclasses.replace(cfg.vote, inference_use_vote=False))
+
+    feature_dir = args.feature_dir or f"output/features{args.dataset}"
+    os.makedirs(feature_dir, exist_ok=True)
+
+    dataset = RegistrationPairDataset(
+        args.dataset, root=args.root, subset=args.subset,
+        point_limit=cfg.test.point_limit,
+    )
+    model, params = build_model_and_params(cfg, args.snapshot_dir, args.test_epoch)
+    evaluator = Evaluator(cfg)
+
+    @jax.jit
+    def forward(params, batch: PairBatch):
+        out = model.apply(params, batch, training=False, with_gt=True)
+        metrics = evaluator(out, batch, evaling=True)
+        return out, metrics
+
+    board = SummaryBoard()
+    timer = Timer()
+    timer.tic()
+    for i in range(len(dataset)):
+        item = dataset[i]
+        batch = make_pair_batch_np(cfg, item["ref_points"], item["src_points"], item["transform"])
+        timer.record_prepare()
+        out, metrics = forward(params, batch)
+        jax.block_until_ready(out["estimated_transform"])
+        timer.record_process()
+        board.update_from_dict(metrics)
+
+        dumped = trim_outputs(out, item["transform"])
+        name = f"{item['seq_id']}_{item['src_frame']}_{item['ref_frame']}"
+        np.savez_compressed(osp.join(feature_dir, name + ".npz"), **dumped)
+        print(
+            f"[{i + 1}/{len(dataset)}] {name} | "
+            + ", ".join(f"{k}: {float(v):.4f}" for k, v in metrics.items())
+            + f" | prep {timer.prepare_time():.3f}s proc {timer.process_time():.3f}s"
+        )
+
+    print("== summary ==")
+    print(board.format())
+
+
+if __name__ == "__main__":
+    main()

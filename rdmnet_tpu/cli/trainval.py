@@ -1,0 +1,73 @@
+"""Training CLI (reference: experiments/trainval.py:15-69).
+
+Usage:
+    python -m rdmnet_tpu.cli.trainval --root /data/KITTI_odometry \
+        [--output_dir DIR] [--resume] [--max_epoch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from rdmnet_tpu.config import make_cfg
+from rdmnet_tpu.data.datasets import RegistrationPairDataset
+from rdmnet_tpu.data.loader import PairLoader
+from rdmnet_tpu.engine.trainer import Trainer
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", default="kitti")
+    parser.add_argument("--root", required=True)
+    parser.add_argument("--output_dir", default="output/rdmnet_tpu")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--max_epoch", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--log_steps", type=int, default=10)
+    args = parser.parse_args()
+
+    cfg = make_cfg()
+    if args.max_epoch is not None:
+        cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, max_epoch=args.max_epoch))
+    batch_size = args.batch_size or cfg.train.batch_size
+
+    import jax
+
+    num_hosts = jax.process_count()
+    host_id = jax.process_index()
+
+    train_dataset = RegistrationPairDataset(
+        args.dataset, root=args.root, subset="train",
+        point_limit=cfg.train.point_limit,
+        use_augmentation=cfg.train.use_augmentation,
+        augmentation_noise=cfg.train.augmentation_noise,
+        augmentation_min_scale=cfg.train.augmentation_min_scale,
+        augmentation_max_scale=cfg.train.augmentation_max_scale,
+        augmentation_shift=cfg.train.augmentation_shift,
+        augmentation_rotation=cfg.train.augmentation_rotation,
+        seed=cfg.seed + host_id,
+    )
+    val_dataset = RegistrationPairDataset(
+        args.dataset, root=args.root, subset="val",
+        point_limit=cfg.train.point_limit,
+    )
+    train_loader = PairLoader(
+        train_dataset, cap=cfg.pyramid.caps[0], batch_size=batch_size,
+        shuffle=True, drop_last=True, seed=cfg.seed,
+        num_hosts=num_hosts, host_id=host_id,
+    )
+    val_loader = PairLoader(
+        val_dataset, cap=cfg.pyramid.caps[0], batch_size=batch_size,
+        num_hosts=num_hosts, host_id=host_id,
+    )
+
+    trainer = Trainer(
+        cfg, train_loader, val_loader,
+        output_dir=args.output_dir, log_steps=args.log_steps,
+    )
+    trainer.run(resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

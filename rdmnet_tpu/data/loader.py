@@ -1,0 +1,127 @@
+"""Host-side pair loader: pad, batch, per-host shard, prefetch.
+
+Replaces the reference's torch DataLoader + collate stack (reference:
+geotransformer/utils/data.py:223-253, utils/torch.py:48-77) — but does NOT
+precompute the neighbor pyramid on the host: padding is the only host work;
+the pyramid is built on device inside the jitted step
+(rdmnet_tpu/graph/pyramid.py). Multi-host data parallelism shards the
+metadata by process index (replaces DistributedSampler,
+reference utils/torch.py:58-60).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from rdmnet_tpu.data.datasets import RegistrationPairDataset
+
+
+def pad_points_np(points: np.ndarray, cap: int, pad_coord: float = 1.0e9):
+    n = min(len(points), cap)
+    out = np.full((cap, 3), pad_coord, np.float32)
+    out[:n] = points[:n]
+    return out, np.int32(n)
+
+
+class PairLoader:
+    """Yields numpy batches: dict with ref/src padded points, counts, GT.
+
+    The jitted step converts these into PairBatch pytrees via
+    build_pair_batch (vmapped), entirely on device.
+    """
+
+    def __init__(
+        self,
+        dataset: RegistrationPairDataset,
+        cap: int,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 7351,
+        num_hosts: int = 1,
+        host_id: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.cap = cap
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset) // self.num_hosts
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        # per-host shard (contiguous strided, like DistributedSampler)
+        return idx[self.host_id :: self.num_hosts]
+
+    def _make_batch(self, items):
+        ref_pts, ref_cnt, src_pts, src_cnt, tfs = [], [], [], [], []
+        metas = []
+        for it in items:
+            rp, rc = pad_points_np(it["ref_points"], self.cap)
+            sp, sc = pad_points_np(it["src_points"], self.cap)
+            ref_pts.append(rp)
+            ref_cnt.append(rc)
+            src_pts.append(sp)
+            src_cnt.append(sc)
+            tfs.append(it["transform"])
+            metas.append(
+                {"seq_id": it["seq_id"], "ref_frame": it["ref_frame"],
+                 "src_frame": it["src_frame"]}
+            )
+        return {
+            "ref_points": np.stack(ref_pts),
+            "ref_counts": np.stack(ref_cnt),
+            "src_points": np.stack(src_pts),
+            "src_counts": np.stack(src_cnt),
+            "transform": np.stack(tfs),
+            "metadata": metas,
+        }
+
+    def _iter_sync(self) -> Iterator[dict]:
+        indices = self._indices()
+        nb = len(indices) // self.batch_size if self.drop_last else -(-len(indices) // self.batch_size)
+        for b in range(nb):
+            chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
+            items = [self.dataset[int(i)] for i in chunk]
+            # repeat last item to fill a ragged tail batch (masked identically)
+            while len(items) < self.batch_size:
+                items.append(items[-1])
+            yield self._make_batch(items)
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.prefetch <= 0:
+            yield from self._iter_sync()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self._iter_sync():
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

@@ -1,0 +1,52 @@
+"""Orbax checkpointing: snapshot save/load with epoch metadata.
+
+Replaces the reference's torch snapshot logic (reference:
+geotransformer/engine/base_trainer.py:113-179): per-epoch snapshots plus a
+rolling latest snapshot with optimizer state, resume support.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any, metadata: Optional[dict] = None):
+        args = ocp.args.Composite(
+            state=ocp.args.StandardSave(state),
+            **(
+                {"metadata": ocp.args.JsonSave(metadata)} if metadata else {}
+            ),
+        )
+        self._mgr.save(step, args=args)
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Tuple[Any, dict]:
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state_template),
+                metadata=ocp.args.JsonRestore(),
+            ),
+        )
+        return restored["state"], (restored.get("metadata") or {})
+
+    def close(self):
+        self._mgr.close()

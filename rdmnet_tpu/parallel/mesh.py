@@ -1,0 +1,39 @@
+"""Device-mesh utilities: data parallelism via jax.sharding.
+
+Replaces the reference's NCCL DDP machinery (reference:
+geotransformer/engine/base_trainer.py:63-78,181-198 and
+geotransformer/utils/torch.py:16-34): the train batch carries a leading
+batch axis sharded over the 'dp' mesh axis, parameters are replicated, and
+XLA inserts the gradient all-reduce (psum over ICI) automatically under jit.
+Multi-host: jax.distributed.initialize() before calling make_mesh gives a
+global mesh spanning hosts (DCN between hosts, ICI within a slice).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, devices=None) -> Mesh:
+    """A 1-D data-parallel mesh over the first ``dp`` devices (all by default)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if dp is None or dp <= 0:
+        dp = len(devices)
+    assert dp <= len(devices), f"requested dp={dp} > {len(devices)} devices"
+    return Mesh(np.array(devices[:dp]), ("dp",))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard a batched pytree's leading axis over 'dp'."""
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.device_put(batch, sharding)
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)

@@ -1,0 +1,119 @@
+"""Offline numpy metrics for the eval CLI.
+
+Ports of reference geotransformer/utils/registration.py:17-406 (RRE/RTE with
+per-axis rpy decomposition, overlap/inlier-ratio/residual, sparse
+correspondence precision) used by the eval workflow over dumped .npz files.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from rdmnet_tpu.utils.se3_np import (
+    apply_transform,
+    euler_zyx_matrix,
+    get_rotation_translation_from_transform,
+)
+
+
+def compute_relative_rotation_error(gt_rotation: np.ndarray, est_rotation: np.ndarray) -> float:
+    x = 0.5 * (np.trace(np.matmul(est_rotation.T, gt_rotation)) - 1.0)
+    return float(180.0 * np.arccos(np.clip(x, -1.0, 1.0)) / np.pi)
+
+
+def rotation_to_euler_xyz_degrees(rotation: np.ndarray) -> np.ndarray:
+    """Euler xyz (extrinsic) angles in degrees from a rotation matrix."""
+    sy = np.sqrt(rotation[0, 0] ** 2 + rotation[1, 0] ** 2)
+    if sy > 1e-6:
+        x = np.arctan2(rotation[2, 1], rotation[2, 2])
+        y = np.arctan2(-rotation[2, 0], sy)
+        z = np.arctan2(rotation[1, 0], rotation[0, 0])
+    else:
+        x = np.arctan2(-rotation[1, 2], rotation[1, 1])
+        y = np.arctan2(-rotation[2, 0], sy)
+        z = 0.0
+    return np.degrees(np.array([x, y, z]))
+
+
+def compute_relative_rotation_error_rpy(gt_rotation, est_rotation):
+    gt = rotation_to_euler_xyz_degrees(gt_rotation)
+    est = rotation_to_euler_xyz_degrees(est_rotation)
+    diff = np.abs(gt - est)
+    return float(diff[0]), float(diff[1]), float(diff[2])
+
+
+def compute_registration_error(gt_transform: np.ndarray, est_transform: np.ndarray):
+    """(rre, rte, rx, ry, rz) (reference registration.py:91-108)."""
+    gt_r, gt_t = get_rotation_translation_from_transform(gt_transform)
+    est_r, est_t = get_rotation_translation_from_transform(est_transform)
+    rre = compute_relative_rotation_error(gt_r, est_r)
+    rx, ry, rz = compute_relative_rotation_error_rpy(gt_r, est_r)
+    rte = float(np.linalg.norm(gt_t - est_t))
+    return rre, rte, rx, ry, rz
+
+
+def compute_inlier_ratio(ref_corr, src_corr, transform, positive_radius=0.1) -> float:
+    if len(ref_corr) == 0:
+        return 0.0
+    residuals = np.linalg.norm(ref_corr - apply_transform(src_corr, transform), axis=1)
+    return float(np.mean(residuals < positive_radius))
+
+
+def compute_overlap(ref_points, src_points, transform, positive_radius=0.1) -> float:
+    """Fraction of points with a partner within radius (symmetric mean)."""
+    src_t = apply_transform(src_points, transform)
+
+    def one_side(a, b):
+        # chunked nn distance (host-side, small inputs)
+        mins = np.empty(len(a))
+        step = 2048
+        for i in range(0, len(a), step):
+            d = np.linalg.norm(a[i : i + step, None] - b[None], axis=-1)
+            mins[i : i + step] = d.min(1)
+        return np.mean(mins < positive_radius)
+
+    return float(0.5 * (one_side(ref_points, src_t) + one_side(src_t, ref_points)))
+
+
+def compute_correspondence_residual(ref_corr, src_corr, transform) -> float:
+    if len(ref_corr) == 0:
+        return 0.0
+    residuals = np.linalg.norm(ref_corr - apply_transform(src_corr, transform), axis=1)
+    return float(np.mean(residuals))
+
+
+def evaluate_correspondences(ref_corr, src_corr, transform, positive_radius=0.1) -> Dict:
+    """reference registration.py:361-375."""
+    return {
+        "overlap": compute_overlap(ref_corr, src_corr, transform, positive_radius),
+        "inlier_ratio": compute_inlier_ratio(ref_corr, src_corr, transform, positive_radius),
+        "inlier_ratio_0.3": compute_inlier_ratio(ref_corr, src_corr, transform, 0.3),
+        "inlier_ratio_0.1": compute_inlier_ratio(ref_corr, src_corr, transform, 0.1),
+        "residual": compute_correspondence_residual(ref_corr, src_corr, transform),
+        "num_corr": int(len(ref_corr)),
+    }
+
+
+def evaluate_sparse_correspondences(
+    num_ref, num_src, ref_corr_indices, src_corr_indices, gt_corr_indices
+) -> Dict:
+    """reference registration.py:378-406."""
+    gt_mat = np.zeros((num_ref, num_src))
+    if len(gt_corr_indices):
+        gt_mat[gt_corr_indices[:, 0], gt_corr_indices[:, 1]] = 1.0
+    pred_mat = np.zeros_like(gt_mat)
+    pred_mat[ref_corr_indices, src_corr_indices] = 1.0
+
+    pos = gt_mat * pred_mat
+    precision = pos.sum() / (pred_mat.sum() + 1e-12)
+    recall = pos.sum() / (gt_mat.sum() + 1e-12)
+    pos_b, gt_b = pos > 0, gt_mat > 0
+    ref_hit = np.any(pos_b, 1).sum() / (np.any(gt_b, 1).sum() + 1e-12)
+    src_hit = np.any(pos_b, 0).sum() / (np.any(gt_b, 0).sum() + 1e-12)
+    return {
+        "precision": float(precision),
+        "recall": float(recall),
+        "hit_ratio": float(0.5 * (ref_hit + src_hit)),
+    }

@@ -1,0 +1,128 @@
+"""Data pipeline tests: GT parsing, augmentation, loader batching, calibration."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from rdmnet_tpu.config import PyramidConfig
+from rdmnet_tpu.data.calibration import calibrate_neighbor_limits
+from rdmnet_tpu.data.datasets import RegistrationPairDataset, load_gt_pairs, make_dataset
+from rdmnet_tpu.data.loader import PairLoader
+from rdmnet_tpu.utils.se3_np import (
+    apply_transform,
+    augment_point_cloud_pair,
+    inverse_transform,
+)
+
+
+@pytest.fixture
+def kitti_root(tmp_path, rng):
+    """Synthetic KITTI-layout dataset with 6 pairs in seq 0 (train split)."""
+    root = tmp_path / "kitti"
+    (root / "icp10").mkdir(parents=True)
+    (root / "downsampled_xyzi" / "00").mkdir(parents=True)
+    lines = []
+    for i in range(6):
+        tf = np.eye(3, 4)
+        lines.append(f"{i + 1} {i} " + " ".join(str(v) for v in tf.reshape(-1)))
+        pts = (rng.rand(300, 4) * 10).astype(np.float32)
+        np.save(root / "downsampled_xyzi" / "00" / f"{i:06d}.npy", pts)
+    np.save(root / "downsampled_xyzi" / "00" / f"{6:06d}.npy",
+            (rng.rand(300, 4) * 10).astype(np.float32))
+    (root / "icp10" / "00").write_text("\n".join(lines))
+    for seq in range(1, 6):
+        (root / "icp10" / f"{seq:02d}").write_text("")
+    return str(root)
+
+
+class TestDatasets:
+    def test_gt_parsing(self, kitti_root):
+        pairs = load_gt_pairs(osp.join(kitti_root, "icp10/00"), 0)
+        assert len(pairs) == 6
+        assert pairs[0]["frame0"] == 0 and pairs[0]["frame1"] == 1
+        assert pairs[0]["transform"].shape == (4, 4)
+        assert pairs[0]["transform"][3, 3] == 1.0
+
+    def test_dataset_getitem(self, kitti_root):
+        ds = RegistrationPairDataset("kitti", kitti_root, "train", point_limit=100)
+        item = ds[0]
+        assert item["ref_points"].shape == (100, 3)
+        assert item["src_points"].shape == (100, 3)
+        assert item["transform"].shape == (4, 4)
+
+    def test_infer_split_uses_demo_assets(self):
+        ds = RegistrationPairDataset(
+            "kitti", "/nonexistent", "infer",
+            demo_asset_dir="/root/reference/assets/pc",
+        )
+        if not os.path.exists("/root/reference/assets/pc/000000.npy"):
+            pytest.skip("demo assets unavailable")
+        item = ds[0]
+        assert item["ref_points"].shape[1] == 3
+        assert len(item["ref_points"]) > 10000
+
+
+class TestAugmentation:
+    def test_transform_recomposition_consistent(self, rng):
+        """After augmentation, transform must still map src onto ref."""
+        src = rng.rand(200, 3).astype(np.float32) * 10
+        tf = np.eye(4, dtype=np.float32)
+        tf[:3, 3] = [1.0, -2.0, 0.5]
+        ref = apply_transform(src, tf).astype(np.float32)
+        aug_ref, aug_src, aug_tf = augment_point_cloud_pair(
+            rng, ref, src, tf, noise=0.0, min_scale=1.0, max_scale=1.0, shift=1.0
+        )
+        realigned = apply_transform(aug_src, aug_tf)
+        np.testing.assert_allclose(realigned, aug_ref, atol=1e-4)
+
+    def test_scale_changes_extent(self, rng):
+        src = rng.rand(100, 3).astype(np.float32)
+        ref = src.copy()
+        tf = np.eye(4, dtype=np.float32)
+        aug_ref, aug_src, aug_tf = augment_point_cloud_pair(
+            rng, ref, src, tf, noise=0.0, min_scale=2.0, max_scale=2.0, shift=0.0
+        )
+        realigned = apply_transform(aug_src, aug_tf)
+        np.testing.assert_allclose(realigned, aug_ref, atol=1e-4)
+
+
+class TestLoader:
+    def test_batching_and_padding(self, kitti_root):
+        ds = RegistrationPairDataset("kitti", kitti_root, "train", point_limit=200)
+        loader = PairLoader(ds, cap=256, batch_size=2, prefetch=0)
+        batches = list(loader)
+        assert len(batches) == 3
+        b = batches[0]
+        assert b["ref_points"].shape == (2, 256, 3)
+        assert b["ref_counts"].tolist() == [200, 200]
+        assert (b["ref_points"][0, 200:] > 1e8).all()
+
+    def test_host_sharding_partitions(self, kitti_root):
+        ds = RegistrationPairDataset("kitti", kitti_root, "train")
+        l0 = PairLoader(ds, cap=256, batch_size=1, num_hosts=2, host_id=0, prefetch=0)
+        l1 = PairLoader(ds, cap=256, batch_size=1, num_hosts=2, host_id=1, prefetch=0)
+        f0 = [b["metadata"][0]["src_frame"] for b in l0]
+        f1 = [b["metadata"][0]["src_frame"] for b in l1]
+        assert set(f0).isdisjoint(set(f1))
+        assert len(f0) + len(f1) == 6
+
+    def test_prefetch_matches_sync(self, kitti_root):
+        ds = RegistrationPairDataset("kitti", kitti_root, "train")
+        sync = list(PairLoader(ds, cap=256, batch_size=2, prefetch=0))
+        pre = list(PairLoader(ds, cap=256, batch_size=2, prefetch=2))
+        assert len(sync) == len(pre)
+        np.testing.assert_array_equal(sync[0]["ref_points"], pre[0]["ref_points"])
+
+
+class TestCalibration:
+    def test_limits_reasonable(self, rng):
+        clouds = [(rng.rand(500, 3) * 10).astype(np.float32) for _ in range(2)]
+        spec = PyramidConfig(
+            num_stages=3, voxel_size=0.5, search_radius=1.0,
+            caps=(512, 256, 128), neighbor_limits=(16, 16, 16),
+        )
+        limits = calibrate_neighbor_limits(clouds, spec, sample_threshold=100)
+        assert len(limits) == 3
+        assert all(1 <= l <= 512 for l in limits)
