@@ -68,6 +68,10 @@ def radius_knn(
     """
     q = q_points.shape[0]
     s = s_points.shape[0]
+    if k > s:
+        # more neighbor slots than support points: compute with k=s and pad
+        inner = radius_knn(q_points, s_points, s_count, radius, s, chunk_size)
+        return jnp.pad(inner, ((0, 0), (0, k - s)), constant_values=s)
     s_invalid = jnp.arange(s, dtype=jnp.int32) >= s_count
     s_sq = jnp.sum(s_points * s_points, axis=-1)
     radius_sq = jnp.asarray(radius * radius, jnp.float32)
