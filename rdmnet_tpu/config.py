@@ -37,6 +37,9 @@ class PyramidConfig:
     neighbor_limits: Tuple[int, ...] = (40, 40, 40, 40, 40)
     # Upsampling tables at level i use neighbor_limits[i + 1] in the reference
     # (geotransformer/utils/data.py:59-66); we keep that convention.
+    # TPU-accelerated approximate top-k for the neighbor search (None = exact;
+    # recall applies to the farthest in-radius neighbors only).
+    approx_recall: Optional[float] = None
 
     def __post_init__(self):
         assert len(self.caps) == self.num_stages

@@ -99,18 +99,21 @@ def build_cloud_pyramid(
     neighbors = []
     subsampling = []
     upsampling = []
+    ar = spec.approx_recall
     for i in range(spec.num_stages):
         neighbors.append(
-            radius_knn(pts[i], pts[i], cnts[i], radius, spec.neighbor_limits[i])
+            radius_knn(pts[i], pts[i], cnts[i], radius, spec.neighbor_limits[i],
+                       approx_recall=ar)
         )
         if i < spec.num_stages - 1:
             subsampling.append(
-                radius_knn(pts[i + 1], pts[i], cnts[i], radius, spec.neighbor_limits[i])
+                radius_knn(pts[i + 1], pts[i], cnts[i], radius,
+                           spec.neighbor_limits[i], approx_recall=ar)
             )
             upsampling.append(
                 radius_knn(
                     pts[i], pts[i + 1], cnts[i + 1], radius * 2.0,
-                    spec.neighbor_limits[i + 1],
+                    spec.neighbor_limits[i + 1], approx_recall=ar,
                 )
             )
         radius *= 2.0

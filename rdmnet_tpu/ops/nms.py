@@ -37,13 +37,33 @@ def greedy_nms(
     sq = pairwise_sq_dist(nodes, nodes)
     adj = sq <= radius * radius
     adj = adj & nodes_mask[None, :] & nodes_mask[:, None]
-    # self-adjacency is irrelevant: keep[i] is False while i is examined
+    # self-adjacency is irrelevant: a node never blocks itself
     adj = adj & ~jnp.eye(m, dtype=bool)
     adj_f = adj.astype(jnp.float32)
+    # adjacency restricted to earlier-indexed neighbors (strict lower triangle)
+    earlier = jnp.tril(jnp.ones((m, m), bool), k=-1)
+    adj_earlier_f = (adj & earlier).astype(jnp.float32)
 
-    def body(i, keep):
-        blocked = jnp.dot(adj_f[i], keep.astype(jnp.float32)) > 0.0
-        return keep.at[i].set(nodes_mask[i] & ~blocked)
+    # Parallel peeling: the greedy result is the lexicographically-first
+    # maximal independent set — a node is kept iff it has no earlier-indexed
+    # kept neighbor. Each round confirms every still-active node with no
+    # earlier-indexed active neighbor (greedy must keep those), then kills
+    # their active neighbors. Rounds needed = suppression-chain depth
+    # (typically < 10), vs M sequential steps for the naive loop.
+    def cond(state):
+        _, active = state
+        return jnp.any(active)
 
-    keep = jnp.zeros((m,), dtype=bool)
-    return jax.lax.fori_loop(0, m, body, keep)
+    def body(state):
+        keep, active = state
+        a = active.astype(jnp.float32)
+        has_earlier_active = (adj_earlier_f @ a) > 0.0
+        confirm = active & ~has_earlier_active
+        killed = (adj_f @ confirm.astype(jnp.float32)) > 0.0
+        keep = keep | confirm
+        active = active & ~confirm & ~killed
+        return keep, active
+
+    keep0 = jnp.zeros((m,), dtype=bool)
+    keep, _ = jax.lax.while_loop(cond, body, (keep0, nodes_mask))
+    return keep

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 _BIG = 1.0e12
 
 
-def _chunk_knn(q_chunk, s_points, s_sq, s_invalid_col, radius_sq, k):
+def _chunk_knn(q_chunk, s_points, s_sq, s_invalid_col, radius_sq, k, approx_recall):
     """(C, 3) queries vs (S, 3) support -> (C, k) indices sorted by distance."""
     qs = jnp.matmul(
         q_chunk,
@@ -39,7 +39,15 @@ def _chunk_knn(q_chunk, s_points, s_sq, s_invalid_col, radius_sq, k):
     sq_dist = jnp.where(s_invalid_col[None, :], _BIG, sq_dist)
     sq_dist = jnp.where(sq_dist > radius_sq, _BIG, sq_dist)
     # top_k of negated distances -> ascending distance order (C++ parity).
-    neg_top, idx = jax.lax.top_k(-sq_dist, k)
+    if approx_recall is None:
+        neg_top, idx = jax.lax.top_k(-sq_dist, k)
+    else:
+        # TPU-accelerated approximate top-k (PartialReduce): much cheaper
+        # than exact sort for wide rows; tiny recall loss on the farthest
+        # neighbors, which the radius bound makes immaterial.
+        neg_top, idx = jax.lax.approx_max_k(
+            -sq_dist, k, recall_target=approx_recall
+        )
     s_cap = s_points.shape[0]
     return jnp.where(neg_top <= -_BIG, s_cap, idx).astype(jnp.int32)
 
@@ -51,6 +59,7 @@ def radius_knn(
     radius: float,
     k: int,
     chunk_size: int = 2048,
+    approx_recall: float | None = None,
 ) -> jnp.ndarray:
     """Radius-bounded kNN indices of ``q_points`` into ``s_points``.
 
@@ -72,6 +81,8 @@ def radius_knn(
         # more neighbor slots than support points: compute with k=s and pad
         inner = radius_knn(q_points, s_points, s_count, radius, s, chunk_size)
         return jnp.pad(inner, ((0, 0), (0, k - s)), constant_values=s)
+    if approx_recall is not None and s < 1024:
+        approx_recall = None  # approx reduction needs wide rows to pay off
     s_invalid = jnp.arange(s, dtype=jnp.int32) >= s_count
     s_sq = jnp.sum(s_points * s_points, axis=-1)
     radius_sq = jnp.asarray(radius * radius, jnp.float32)
@@ -83,6 +94,7 @@ def radius_knn(
         s_invalid_col=s_invalid,
         radius_sq=radius_sq,
         k=k,
+        approx_recall=approx_recall,
     )
 
     if q <= chunk_size:

@@ -1,0 +1,96 @@
+"""Preprocessing tests: downsample, ICP, pair generation round trip."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from rdmnet_tpu.graph import native
+from rdmnet_tpu.data.preprocess import (
+    generate_pairs_for_sequence,
+    icp_point_to_point,
+    read_kitti_poses,
+    read_velo2cam,
+    voxel_downsample_xyzi,
+)
+from rdmnet_tpu.utils.se3_np import apply_transform, euler_zyx_matrix
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+
+
+class TestVoxelDownsample:
+    def test_centroids_and_intensity(self, rng):
+        pts = np.array(
+            [[0.1, 0.1, 0.1, 1.0], [0.2, 0.2, 0.2, 3.0], [5.0, 5.0, 5.0, 7.0]],
+            np.float32,
+        )
+        out = voxel_downsample_xyzi(pts, 1.0)
+        assert len(out) == 2
+        row = out[np.argmin(out[:, 0])]
+        np.testing.assert_allclose(row, [0.15, 0.15, 0.15, 2.0], atol=1e-6)
+
+    def test_reduces_density(self, rng):
+        pts = (rng.rand(5000, 4) * 10).astype(np.float32)
+        out = voxel_downsample_xyzi(pts, 1.0)
+        assert 500 < len(out) < 1100
+
+
+class TestICP:
+    def test_recovers_small_misalignment(self, rng):
+        pts = (rng.rand(3000, 3) * 20 - 10).astype(np.float32)
+        r = euler_zyx_matrix(0.02, -0.01, 0.015)
+        tf = np.eye(4)
+        tf[:3, :3] = r
+        tf[:3, 3] = [0.1, -0.15, 0.05]
+        moved = apply_transform(pts, np.linalg.inv(tf)).astype(np.float32)
+        est = icp_point_to_point(moved, pts, max_correspondence_distance=0.5)
+        realigned = apply_transform(moved, est)
+        err = np.linalg.norm(realigned - pts, axis=1)
+        assert np.median(err) < 0.02
+
+
+class TestPairGeneration:
+    def _make_kitti(self, tmp_path, rng, num_frames=8, step=4.0):
+        root = tmp_path / "kitti"
+        (root / "poses").mkdir(parents=True)
+        seq_dir = root / "sequences" / "00"
+        (seq_dir / "velodyne").mkdir(parents=True)
+        # forward motion along x (camera z after velo2cam)
+        velo2cam = np.eye(4)
+        poses = []
+        base = (rng.rand(8000, 3) * 40 - 20).astype(np.float32)
+        for i in range(num_frames):
+            world_tf = np.eye(4)
+            world_tf[:3, 3] = [step * i, 0, 0]
+            poses.append(world_tf[:3].reshape(-1))
+            # scan i = world points expressed in sensor frame i
+            local = apply_transform(base, np.linalg.inv(world_tf)).astype(np.float32)
+            xyzi = np.concatenate([local, np.zeros((len(local), 1), np.float32)], 1)
+            xyzi.tofile(seq_dir / "velodyne" / f"{i:06d}.bin")
+        np.savetxt(root / "poses" / "00.txt", np.array(poses))
+        (seq_dir / "calib.txt").write_text(
+            "Tr: 1 0 0 0 0 1 0 0 0 0 1 0\n"
+        )
+        return str(root)
+
+    def test_pairs_written_and_consistent(self, tmp_path, rng):
+        root = self._make_kitti(tmp_path, rng)
+        lines = generate_pairs_for_sequence(root, 0, thres=10.0)
+        assert len(lines) >= 1
+        parts = lines[0].split()
+        i, j = int(parts[0]), int(parts[1])
+        # reference quirk (generate_kitti_pairs.py:130): picks the frame just
+        # BEFORE the first >thres one -> 8 m apart at 4 m/frame with thres=10
+        assert j - i == 2
+        tf = np.array([float(x) for x in parts[2:14]]).reshape(3, 4)
+        # frames differ by (j - i) * 4 m translation along x; GT transform
+        # maps scan i (src) into scan j's frame
+        np.testing.assert_allclose(abs(tf[0, 3]), (j - i) * 4.0, atol=0.2)
+        np.testing.assert_allclose(tf[:3, :3], np.eye(3), atol=0.02)
+
+    def test_pose_and_calib_readers(self, tmp_path, rng):
+        root = self._make_kitti(tmp_path, rng)
+        poses = read_kitti_poses(osp.join(root, "poses", "00.txt"))
+        assert poses.shape == (8, 4, 4)
+        v2c = read_velo2cam(osp.join(root, "sequences", "00", "calib.txt"))
+        np.testing.assert_allclose(v2c, np.eye(4))
