@@ -1,0 +1,66 @@
+"""Iteration-budget trainer (reference: geotransformer/engine/
+iter_based_trainer.py — the CycleLoader + max-iteration variant, unused by
+the RDMNet CLIs but part of the engine surface)."""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional
+
+import jax
+
+from rdmnet_tpu.config import Config
+from rdmnet_tpu.data.loader import PairLoader
+from rdmnet_tpu.engine.trainer import Trainer, batch_to_device
+
+
+class CycleLoader:
+    """Endlessly cycle a PairLoader (reference iter_based_trainer.py CycleLoader)."""
+
+    def __init__(self, loader: PairLoader):
+        self.loader = loader
+
+    def __iter__(self):
+        while True:
+            yield from self.loader
+
+
+class IterBasedTrainer(Trainer):
+    """Train for a fixed number of iterations instead of epochs."""
+
+    def __init__(self, *args, max_iterations: int = 100000,
+                 snapshot_every: int = 1000, val_every: int = 1000, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_iterations = max_iterations
+        self.snapshot_every = snapshot_every
+        self.val_every = val_every
+        self.iteration = 0
+
+    def run(self, resume: bool = False):
+        if resume:
+            step = self.snapshots.latest_step()
+            if step is not None:
+                self.state, meta = self.snapshots.restore(self.state, step)
+                self.iteration = int(meta.get("iteration", step))
+                self.logger.info(f"resumed at iteration {self.iteration}")
+
+        stream = iter(CycleLoader(self.train_loader))
+        while self.iteration < self.max_iterations:
+            np_batch = next(stream)
+            batch = batch_to_device(np_batch, self.cfg.pyramid, self.mesh)
+            self.key, sub = jax.random.split(self.key)
+            self.state, metrics = self.train_step(self.state, batch, sub)
+            self.iteration += 1
+            if self.iteration % self.log_steps == 0:
+                jax.block_until_ready(metrics["loss"])
+                self.logger.info(
+                    f"iter {self.iteration}/{self.max_iterations} | "
+                    + ", ".join(f"{k}: {float(v):.4f}" for k, v in metrics.items())
+                )
+            if self.iteration % self.val_every == 0:
+                self.validate()
+            if self.iteration % self.snapshot_every == 0:
+                self.snapshots.save(
+                    self.iteration, jax.device_get(self.state),
+                    metadata={"iteration": self.iteration},
+                )

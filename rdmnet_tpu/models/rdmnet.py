@@ -272,7 +272,7 @@ class RDMNet(nn.Module):
         ) / jnp.sqrt(jnp.asarray(ref_feats_f.shape[1], jnp.float32))
         matching_scores = LearnableLogOptimalTransport(
             cfg.model.num_sinkhorn_iterations, name="optimal_transport"
-        )(sim, p_ref_knn_masks, p_src_knn_masks)
+        )(sim, p_ref_knn_masks, p_src_knn_masks, use_pallas=not training)
         out["matching_scores"] = matching_scores        # (P, K+1, K+1)
 
         # ---------------- local-to-global registration ---------------------

@@ -37,7 +37,7 @@ class LearnableLogOptimalTransport(nn.Module):
     num_iterations: int
 
     @nn.compact
-    def __call__(self, scores, row_valid=None, col_valid=None):
+    def __call__(self, scores, row_valid=None, col_valid=None, use_pallas=False):
         alpha = self.param("alpha", nn.initializers.ones, ())
         *lead, num_row, num_col = scores.shape
 
@@ -77,5 +77,14 @@ class LearnableLogOptimalTransport(nn.Module):
         log_mu = jnp.where(pad_row_valid, log_mu, -_INF)
         log_nu = jnp.where(pad_col_valid, log_nu, -_INF)
 
-        out = log_sinkhorn(padded, log_mu, log_nu, self.num_iterations)
+        if use_pallas and padded.ndim == 3:
+            # fused single-kernel path (inference; no autodiff through it)
+            from rdmnet_tpu.ops.pallas.sinkhorn import sinkhorn_pallas
+
+            out = sinkhorn_pallas(
+                padded, log_mu, log_nu, self.num_iterations,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            out = log_sinkhorn(padded, log_mu, log_nu, self.num_iterations)
         return out - norm[..., None, None]

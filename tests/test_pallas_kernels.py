@@ -1,0 +1,36 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rdmnet_tpu.nn.sinkhorn import LearnableLogOptimalTransport, log_sinkhorn
+from rdmnet_tpu.ops.pallas.sinkhorn import sinkhorn_pallas
+
+
+class TestSinkhornPallas:
+    def test_matches_scan_implementation(self, rng):
+        p, k1 = 5, 17
+        scores = rng.randn(p, k1, k1).astype(np.float32)
+        log_mu = rng.randn(p, k1).astype(np.float32) * 0.1
+        log_nu = rng.randn(p, k1).astype(np.float32) * 0.1
+        want = log_sinkhorn(jnp.asarray(scores), jnp.asarray(log_mu),
+                            jnp.asarray(log_nu), 30)
+        got = sinkhorn_pallas(jnp.asarray(scores), jnp.asarray(log_mu),
+                              jnp.asarray(log_nu), 30, block_patches=2,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_module_pallas_path_matches(self, rng):
+        model = LearnableLogOptimalTransport(num_iterations=25)
+        scores = jnp.asarray(rng.randn(4, 8, 8).astype(np.float32))
+        row_valid = jnp.asarray(rng.rand(4, 8) > 0.2)
+        col_valid = jnp.asarray(rng.rand(4, 8) > 0.2)
+        params = model.init(jax.random.PRNGKey(0), scores)
+        a = model.apply(params, scores, row_valid, col_valid, use_pallas=False)
+        b = model.apply(params, scores, row_valid, col_valid, use_pallas=True)
+        mask = np.isfinite(np.asarray(a))
+        np.testing.assert_allclose(
+            np.asarray(a)[mask], np.asarray(b)[mask], rtol=1e-4, atol=1e-4
+        )
