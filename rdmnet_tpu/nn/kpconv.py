@@ -60,6 +60,13 @@ def knn_interpolate(
     return jnp.sum(knn_feats * w[..., None], axis=1)
 
 
+def global_avgpool(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked global average over a padded cloud (reference
+    functional.py:70-90 loops per batch element; here one masked mean)."""
+    m = mask.astype(x.dtype)[:, None]
+    return jnp.sum(x * m, axis=0) / jnp.maximum(jnp.sum(m), 1.0)
+
+
 class KPConv(nn.Module):
     """Kernel-point convolution (reference kpconv.py:10-133).
 

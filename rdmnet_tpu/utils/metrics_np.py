@@ -96,6 +96,50 @@ def evaluate_correspondences(ref_corr, src_corr, transform, positive_radius=0.1)
     }
 
 
+def compute_rotation_mse_and_mae(gt_rotation, est_rotation):
+    """Anisotropic rotation error over euler angles in degrees
+    (reference registration.py:111-117)."""
+    gt = rotation_to_euler_xyz_degrees(gt_rotation)
+    est = rotation_to_euler_xyz_degrees(est_rotation)
+    return float(np.mean((gt - est) ** 2)), float(np.mean(np.abs(gt - est)))
+
+
+def compute_translation_mse_and_mae(gt_translation, est_translation):
+    """reference registration.py:120-124."""
+    return (
+        float(np.mean((gt_translation - est_translation) ** 2)),
+        float(np.mean(np.abs(gt_translation - est_translation))),
+    )
+
+
+def compute_transform_mse_and_mae(gt_transform, est_transform):
+    """reference registration.py:127-131."""
+    r_mse, r_mae = compute_rotation_mse_and_mae(gt_transform[:3, :3], est_transform[:3, :3])
+    t_mse, t_mae = compute_translation_mse_and_mae(gt_transform[:3, 3], est_transform[:3, 3])
+    return r_mse, r_mae, t_mse, t_mae
+
+
+def modified_chamfer_distance(raw_points, ref_points, src_points, gt_transform, transform):
+    """Modified chamfer distance (reference modules/registration/
+    metrics.py:8-44): src->raw under est transform + ref->raw under
+    composed est.inv(gt)."""
+    aligned_src = apply_transform(src_points, transform)
+
+    def nn_mean(a, b):
+        mins = np.empty(len(a))
+        step = 2048
+        for i in range(0, len(a), step):
+            d = ((a[i : i + step, None] - b[None]) ** 2).sum(-1)
+            mins[i : i + step] = d.min(1)
+        return float(np.sqrt(mins).mean())
+
+    chamfer_p_q = nn_mean(aligned_src, raw_points)
+    composed = transform @ np.linalg.inv(gt_transform)
+    aligned_raw = apply_transform(raw_points, composed)
+    chamfer_q_p = nn_mean(ref_points, aligned_raw)
+    return chamfer_p_q + chamfer_q_p
+
+
 def evaluate_sparse_correspondences(
     num_ref, num_src, ref_corr_indices, src_corr_indices, gt_corr_indices
 ) -> Dict:

@@ -1,0 +1,112 @@
+"""Torch-checkpoint -> flax-params converter (experimental).
+
+Maps the reference's state_dict key schema (reference experiments/model.py:399
+shows the keys; snapshot layout in engine/base_trainer.py:113-138) onto this
+framework's flax parameter tree, for running the published KITTI weights
+without retraining. The published checkpoint blob is missing from the
+reference mount (.MISSING_LARGE_BLOBS), so this converter is validated only
+structurally for now.
+
+Conventions handled:
+* torch Linear weight (out, in) -> flax Dense kernel (in, out);
+* torch LayerNorm/GroupNorm weight/bias -> flax scale/bias;
+* KPConv weights (K, Cin, Cout) map 1:1; kernel_points buffer ignored (we
+  regenerate the canonical disposition);
+* reference RPEConditionalTransformer ``layers.{2l}``/``layers.{2l+1}``
+  (alternating rotary-self / vanilla-cross) -> our ``self_{l}`` /
+  ``cross_{l}`` modules;
+* the reference nests attention's output linear+norm one level deeper
+  (RPEAttentionLayer) than we do — flattened here.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+
+def _assign(tree: Dict, path, value):
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def _map_transformer_key(parts, prefix):
+    """['layers', '3', ...] within a conditional transformer -> our path."""
+    idx = int(parts[1])
+    layer_name = f"self_{idx // 2}" if idx % 2 == 0 else f"cross_{idx // 2}"
+    rest = parts[2:]
+    # reference: attention.attention.proj_q / attention.linear /
+    # attention.norm / output.expand ...
+    if rest[0] == "attention" and rest[1] == "attention":
+        tail = rest[2:]
+        return prefix + [layer_name, "attention"] + tail
+    if rest[0] == "attention":
+        # linear / norm of the attention sub-layer -> flattened into the layer
+        return prefix + [layer_name] + rest[1:]
+    return prefix + [layer_name] + rest
+
+
+def convert_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict:
+    """Reference state_dict (numpy arrays, 'module.' prefix stripped) ->
+    nested flax params dict (contents of params['params'])."""
+    out: Dict = {}
+    for key, value in state_dict.items():
+        v = np.asarray(value)
+        parts = key.split(".")
+
+        # transformer stacks: <name>.transformer.layers.N....
+        m = re.match(r"(transformer2?|.*\.transformer)\.layers\.", key)
+        if ".transformer.layers." in key or re.match(r"transformer2?\.layers\.", key):
+            head, _, tail = key.partition(".layers.")
+            parts = ["layers"] + tail.split(".")
+            path = _map_transformer_key(parts, head.split("."))
+        elif parts[-2] == "norm" and parts[-1] in ("weight", "bias") and "KPConv" not in key:
+            path = parts
+        else:
+            path = parts
+
+        leaf = path[-1]
+        if leaf == "weight":
+            if v.ndim == 2:  # Linear
+                v = v.T
+                path = path[:-1] + ["kernel"]
+            else:  # norm scale
+                path = path[:-1] + ["scale"]
+        elif leaf == "bias":
+            path = path[:-1] + ["bias"]
+        elif leaf == "weights":  # KPConv (K, Cin, Cout)
+            path = path[:-1] + ["weights"]
+        elif leaf == "alpha":
+            path = path[:-1] + ["alpha"]
+        elif leaf == "kernel_points" or leaf == "div_term":
+            continue  # regenerated buffers
+
+        # torch GroupNorm module nesting: ours is MaskedGroupNorm directly
+        path = [p for p in path if p != "norm_inner"]
+        # vote layer sequential indices: mlp_modules.{0,3}=Dense,
+        # {1,4}=LayerNorm -> mlp_{i}/mlp_norm_{i}
+        if path[0] == "vote" and len(path) > 1 and path[1] == "mlp_modules":
+            seq = int(path[2])
+            sub = "mlp" if seq % 3 == 0 else "mlp_norm"
+            path = ["vote", f"{sub}_{seq // 3}"] + path[3:]
+        if path[0] == "vote" and len(path) > 1 and path[1] == "out_proj":
+            path = ["vote", "out_norm"] + path[3:]
+
+        _assign(out, tuple(path), v)
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pth.tar snapshot into numpy (strips 'module.')."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu")
+    state = blob.get("model", blob.get("state_dict", blob))
+    return {
+        k[len("module."):] if k.startswith("module.") else k: v.numpy()
+        for k, v in state.items()
+    }
