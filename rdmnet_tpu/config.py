@@ -47,6 +47,18 @@ class PyramidConfig:
         assert len(self.caps) == self.num_stages
         assert len(self.neighbor_limits) == self.num_stages
 
+    def scaled(self, factor: float, multiple: int = 128) -> "PyramidConfig":
+        """A bucket variant with capacities scaled by ``factor`` and rounded
+        up to ``multiple`` (static-shape point-count bucketing — the
+        framework's answer to data-dependent cloud sizes, SURVEY §5)."""
+        import dataclasses as _dc
+
+        caps = tuple(
+            max(multiple, -(-int(c * factor) // multiple) * multiple)
+            for c in self.caps
+        )
+        return _dc.replace(self, caps=caps)
+
 
 @dataclasses.dataclass(frozen=True)
 class BackboneConfig:
@@ -260,6 +272,9 @@ class DataConfig:
 @dataclasses.dataclass(frozen=True)
 class Config:
     seed: int = 7351             # reference: config.py:13
+    # MXU compute dtype for backbone/transformer matmuls ("float32" or
+    # "bfloat16"); norms, softmax, geometry, Sinkhorn and pose math stay f32.
+    compute_dtype: str = "float32"
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     train: TrainDataConfig = dataclasses.field(default_factory=TrainDataConfig)
     test: TestDataConfig = dataclasses.field(default_factory=TestDataConfig)

@@ -20,6 +20,17 @@ import numpy as np
 from rdmnet_tpu.data.datasets import RegistrationPairDataset
 
 
+def choose_bucket(num_points: int, bucket_caps) -> int:
+    """Pick the smallest bucket whose level-0 capacity fits ``num_points``
+    (falls back to the largest). ``bucket_caps``: ascending level-0 caps.
+    Each bucket corresponds to one compiled variant of the jitted step —
+    static-shape point-count bucketing instead of dynamic shapes."""
+    for i, cap in enumerate(bucket_caps):
+        if num_points <= cap:
+            return i
+    return len(bucket_caps) - 1
+
+
 def pad_points_np(points: np.ndarray, cap: int, pad_coord: float = 1.0e9):
     n = min(len(points), cap)
     out = np.full((cap, 3), pad_coord, np.float32)

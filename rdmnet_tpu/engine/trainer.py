@@ -128,13 +128,26 @@ class Trainer:
         self.logger.info(f"val epoch {self.epoch} | {board.format()}")
         return summary
 
+    def _write_metrics(self, phase: str, summary: dict):
+        """Append a metrics record to metrics.jsonl (stands in for the
+        reference's TensorBoard scalars, base_trainer.py:250-255)."""
+        import json
+
+        path = os.path.join(self.output_dir, "metrics.jsonl")
+        os.makedirs(self.output_dir, exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps({"phase": phase, "epoch": self.epoch, **summary}) + "\n")
+
     def run(self, resume: bool = False):
         if resume:
             self.resume()
         while self.epoch < self.cfg.optim.max_epoch:
             t0 = time.time()
             train_summary = self.train_epoch()
-            self.validate()
+            self._write_metrics("train", train_summary)
+            val_summary = self.validate()
+            if val_summary:
+                self._write_metrics("val", val_summary)
             self.epoch += 1
             self.snapshots.save(
                 self.epoch,

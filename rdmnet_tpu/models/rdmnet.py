@@ -54,6 +54,7 @@ class RDMNet(nn.Module):
         target_key: Optional[jax.Array] = None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
         out: Dict[str, Any] = {}
 
         ref_pyr, src_pyr = batch.ref, batch.src
@@ -89,7 +90,9 @@ class RDMNet(nn.Module):
             variable_axes={"params": None},
             split_rngs={"params": False},
         )
-        feats_list = PairEncoder(cfg.backbone, name="encoder")(stacked_feats, stacked_pyr)
+        feats_list = PairEncoder(cfg.backbone, dtype=dtype, name="encoder")(
+            stacked_feats, stacked_pyr
+        )
         feats_c = feats_list[-1]  # (2, cap_c, 2048)
 
         # ---------------- transformer #1 on original coarse nodes ----------
@@ -99,6 +102,7 @@ class RDMNet(nn.Module):
             cfg.thdroformer.hidden_dim,
             cfg.thdroformer.num_heads,
             cfg.thdroformer.num_layers,
+            dtype=dtype,
             name="transformer",
         )(
             ref_points_c, src_points_c, feats_c[0], feats_c[1],
@@ -126,7 +130,7 @@ class RDMNet(nn.Module):
             variable_axes={"params": None},
             split_rngs={"params": False},
         )
-        dec_list = PairDecoder(cfg.backbone, name="decoder")(
+        dec_list = PairDecoder(cfg.backbone, dtype=dtype, name="decoder")(
             list(feats_list[:-1]) + [feats_o_c], stacked_pyr
         )
         feats_f_all = dec_list[0]               # (2, cap_f, output_dim + 1)
@@ -180,6 +184,7 @@ class RDMNet(nn.Module):
                 cfg.thdroformer.num_heads,
                 cfg.thdroformer.num_layers2,
                 k=cfg.thdroformer.k2,
+                dtype=dtype,
                 name="transformer2",
             )(
                 nodes_pair[0], nodes_pair[1], voted_feats[0], voted_feats[1],

@@ -63,6 +63,7 @@ def _attend(
     topk: Optional[int] = None,
 ) -> jnp.ndarray:
     d = q.shape[-1]
+    # logits/softmax in f32 regardless of q/k dtype
     scores = jnp.einsum("hnd,hmd->hnm", q, k, preferred_element_type=jnp.float32)
     scores = scores / jnp.sqrt(jnp.asarray(d, scores.dtype))
     if kv_valid is not None:
@@ -77,7 +78,8 @@ def _attend(
         probs = jax.nn.softmax(top_vals, axis=-1)
         one_hot = jax.nn.one_hot(top_idx, scores.shape[-1], dtype=scores.dtype)
         attn = jnp.einsum("hnk,hnkm->hnm", probs, one_hot, preferred_element_type=jnp.float32)
-    return jnp.einsum("hnm,hmd->hnd", attn, v, preferred_element_type=jnp.float32)
+    return jnp.einsum("hnm,hmd->hnd", attn.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
 
 
 class MultiHeadAttention(nn.Module):
@@ -85,12 +87,13 @@ class MultiHeadAttention(nn.Module):
 
     d_model: int
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, input_q, input_k, input_v, kv_valid=None):
-        q = _split_heads(nn.Dense(self.d_model, name="proj_q")(input_q), self.num_heads)
-        k = _split_heads(nn.Dense(self.d_model, name="proj_k")(input_k), self.num_heads)
-        v = _split_heads(nn.Dense(self.d_model, name="proj_v")(input_v), self.num_heads)
+        q = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(input_q), self.num_heads)
+        k = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(input_k), self.num_heads)
+        v = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(input_v), self.num_heads)
         return _merge_heads(_attend(q, k, v, kv_valid))
 
 
@@ -101,21 +104,22 @@ class RotaryMultiHeadAttention(nn.Module):
     d_model: int
     num_heads: int
     topk: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, input_q, input_k, input_v, pos_emb_q, pos_emb_k, kv_valid=None):
         h = self.num_heads
-        q = _split_heads(nn.Dense(self.d_model, name="proj_q")(input_q), h)
-        k = _split_heads(nn.Dense(self.d_model, name="proj_k")(input_k), h)
-        v = _split_heads(nn.Dense(self.d_model, name="proj_v")(input_v), h)
+        q = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(input_q), h)
+        k = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(input_k), h)
+        v = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(input_v), h)
 
         # pos_emb: (N, d_model/2) -> per-head angle per feature pair
         def theta(pe, n):
             pe_h = pe.reshape(n, h, self.d_model // (2 * h)).transpose(1, 0, 2)
             return jax.nn.sigmoid(pe_h) * (2.0 * jnp.pi)
 
-        q = rotary_rotate(q, theta(pos_emb_q, input_q.shape[0]))
-        k = rotary_rotate(k, theta(pos_emb_k, input_k.shape[0]))
+        q = rotary_rotate(q.astype(jnp.float32), theta(pos_emb_q, input_q.shape[0])).astype(self.dtype)
+        k = rotary_rotate(k.astype(jnp.float32), theta(pos_emb_k, input_k.shape[0])).astype(self.dtype)
         return _merge_heads(_attend(q, k, v, kv_valid, topk=self.topk))
 
 
@@ -123,13 +127,14 @@ class AttentionOutput(nn.Module):
     """Post-norm FFN (expand x2) (reference output_layer.py:6-21)."""
 
     d_model: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Dense(self.d_model * 2, name="expand")(x)
+        y = nn.Dense(self.d_model * 2, dtype=self.dtype, name="expand")(x)
         y = nn.relu(y)
-        y = nn.Dense(self.d_model, name="squeeze")(y)
-        return nn.LayerNorm(name="norm")(x + y)
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="squeeze")(y)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm")(x + y).astype(self.dtype)
 
 
 class TransformerLayer(nn.Module):
@@ -138,15 +143,17 @@ class TransformerLayer(nn.Module):
 
     d_model: int
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, input_states, memory_states, memory_valid=None):
-        hidden = MultiHeadAttention(self.d_model, self.num_heads, name="attention")(
+        hidden = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
+                                    name="attention")(
             input_states, memory_states, memory_states, kv_valid=memory_valid
         )
-        hidden = nn.Dense(self.d_model, name="linear")(hidden)
-        x = nn.LayerNorm(name="norm")(hidden + input_states)
-        return AttentionOutput(self.d_model, name="output")(x)
+        hidden = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(hidden)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(hidden + input_states).astype(self.dtype)
+        return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(x)
 
 
 class RotaryTransformerLayer(nn.Module):
@@ -156,13 +163,15 @@ class RotaryTransformerLayer(nn.Module):
     d_model: int
     num_heads: int
     topk: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, input_states, memory_states, pos_emb, memory_valid=None):
         hidden = RotaryMultiHeadAttention(
-            self.d_model, self.num_heads, topk=self.topk, name="attention"
+            self.d_model, self.num_heads, topk=self.topk, dtype=self.dtype,
+            name="attention"
         )(input_states, memory_states, memory_states, pos_emb, pos_emb,
           kv_valid=memory_valid)
-        hidden = nn.Dense(self.d_model, name="linear")(hidden)
-        x = nn.LayerNorm(name="norm")(hidden + input_states)
-        return AttentionOutput(self.d_model, name="output")(x)
+        hidden = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(hidden)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(hidden + input_states).astype(self.dtype)
+        return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(x)

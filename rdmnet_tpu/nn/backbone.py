@@ -29,10 +29,12 @@ class Encoder(nn.Module):
     """5-stage KPConv encoder (reference backbone.py:7-107)."""
 
     cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, pyr: CloudPyramid) -> List[jnp.ndarray]:
         c = self.cfg
+        feats = feats.astype(self.dtype)
         d = c.init_dim
         r = c.init_radius
         s = c.init_sigma
@@ -43,10 +45,10 @@ class Encoder(nn.Module):
 
         feats_list = []
 
-        x = ConvBlock(c.input_dim, d, ks, r, s, gn, name="encoder1_1")(
-            feats, pts[0], pts[0], nbrs[0], masks[0]
-        )
-        x = ResidualBlock(d, d * 2, ks, r, s, gn, name="encoder1_2")(
+        x = ConvBlock(c.input_dim, d, ks, r, s, gn, dtype=self.dtype,
+                      name="encoder1_1")(feats, pts[0], pts[0], nbrs[0], masks[0])
+        x = ResidualBlock(d, d * 2, ks, r, s, gn, dtype=self.dtype,
+                          name="encoder1_2")(
             x, pts[0], pts[0], nbrs[0], masks[0], masks[0]
         )
         feats_list.append(x)
@@ -56,15 +58,15 @@ class Encoder(nn.Module):
             lvl = i + 1
             x = ResidualBlock(
                 din, din, ks, r * 2**i, s * 2**i, gn, strided=True,
-                name=f"encoder{lvl + 1}_1",
+                dtype=self.dtype, name=f"encoder{lvl + 1}_1",
             )(x, pts[lvl], pts[lvl - 1], subs[lvl - 1], masks[lvl], masks[lvl - 1])
             x = ResidualBlock(
                 din, dout, ks, r * 2 ** (i + 1), s * 2 ** (i + 1), gn,
-                name=f"encoder{lvl + 1}_2",
+                dtype=self.dtype, name=f"encoder{lvl + 1}_2",
             )(x, pts[lvl], pts[lvl], nbrs[lvl], masks[lvl], masks[lvl])
             x = ResidualBlock(
                 dout, dout, ks, r * 2 ** (i + 1), s * 2 ** (i + 1), gn,
-                name=f"encoder{lvl + 1}_3",
+                dtype=self.dtype, name=f"encoder{lvl + 1}_3",
             )(x, pts[lvl], pts[lvl], nbrs[lvl], masks[lvl], masks[lvl])
             feats_list.append(x)
 
@@ -82,10 +84,12 @@ class Decoder(nn.Module):
     """
 
     cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats_list: Sequence[jnp.ndarray], pyr: CloudPyramid) -> List[jnp.ndarray]:
         c = self.cfg
+        feats_list = [f.astype(self.dtype) for f in feats_list]
         d = c.init_dim
         gn = c.group_norm
         ups = pyr.upsampling
@@ -94,17 +98,17 @@ class Decoder(nn.Module):
         out = []
         x = nearest_upsample(feats_list[4], ups[3])
         x = jnp.concatenate([x, feats_list[3]], axis=1)
-        x = UnaryBlock(x.shape[1], d * 16, gn, name="decoder4")(x, masks[3])
+        x = UnaryBlock(x.shape[1], d * 16, gn, dtype=self.dtype, name="decoder4")(x, masks[3])
         out.append(x)
 
         x = nearest_upsample(x, ups[2])
         x = jnp.concatenate([x, feats_list[2]], axis=1)
-        x = UnaryBlock(x.shape[1], d * 8, gn, name="decoder3")(x, masks[2])
+        x = UnaryBlock(x.shape[1], d * 8, gn, dtype=self.dtype, name="decoder3")(x, masks[2])
         out.append(x)
 
         x = nearest_upsample(x, ups[1])
         x = jnp.concatenate([x, feats_list[1]], axis=1)
-        x = LastUnaryBlock(c.output_dim + 1, name="decoder2")(x)
+        x = LastUnaryBlock(c.output_dim + 1, name="decoder2")(x).astype(jnp.float32)
         out.append(x)
 
         out.reverse()

@@ -81,6 +81,7 @@ class KPConv(nn.Module):
     sigma: float = 0.6
     use_bias: bool = True
     randomize_kernel: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices):
@@ -109,13 +110,19 @@ class KPConv(nn.Module):
         influence = jnp.maximum(1.0 - jnp.sqrt(sq_dist) / self.sigma, 0.0)
 
         nbr_feats = gather_neighbors(s_feats, neighbor_indices, fill=0.0)  # (M, H, C)
-        # (M, K, H) @ (M, H, C) -> (M, K, C)
+        # (M, K, H) @ (M, H, C) -> (M, K, C); MXU in compute dtype, f32 accum
         weighted = jnp.einsum(
-            "mhk,mhc->mkc", influence, nbr_feats, preferred_element_type=jnp.float32
+            "mhk,mhc->mkc",
+            influence.astype(self.dtype),
+            nbr_feats.astype(self.dtype),
+            preferred_element_type=jnp.float32,
         )
         # per-kernel-point channel mixing, summed over kernel points
         out = jnp.einsum(
-            "mkc,kcd->md", weighted, weights, preferred_element_type=jnp.float32
+            "mkc,kcd->md",
+            weighted.astype(self.dtype),
+            weights.astype(self.dtype),
+            preferred_element_type=jnp.float32,
         )
 
         # neighbor-count normalization (reference kpconv.py:113-116: counts
@@ -138,9 +145,11 @@ class MaskedGroupNorm(nn.Module):
     num_groups: int
     num_channels: int
     eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(jnp.float32)  # statistics always in f32
         n, c = x.shape
         g = self.num_groups
         assert c % g == 0, f"channels {c} not divisible by groups {g}"
@@ -155,7 +164,7 @@ class MaskedGroupNorm(nn.Module):
         var = jnp.sum(centered * centered, axis=(0, 2)) / count
         inv = jax.lax.rsqrt(var + self.eps)
         out = centered * inv[None, :, None]
-        return out.reshape(n, c) * scale + bias
+        return (out.reshape(n, c) * scale + bias).astype(self.dtype)
 
 
 class UnaryBlock(nn.Module):
@@ -167,14 +176,17 @@ class UnaryBlock(nn.Module):
     has_relu: bool = True
     use_bias: bool = True
     layer_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask):
-        x = nn.Dense(self.out_channels, use_bias=self.use_bias, name="mlp")(x)
+        x = nn.Dense(self.out_channels, use_bias=self.use_bias, dtype=self.dtype,
+                     name="mlp")(x)
         if self.layer_norm:
-            x = nn.LayerNorm(name="norm")(x)
+            x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         else:
-            x = MaskedGroupNorm(self.group_norm, self.out_channels, name="norm")(x, mask)
+            x = MaskedGroupNorm(self.group_norm, self.out_channels,
+                                dtype=self.dtype, name="norm")(x, mask)
         if self.has_relu:
             x = nn.leaky_relu(x, 0.1)
         return x
@@ -200,6 +212,7 @@ class ConvBlock(nn.Module):
     radius: float
     sigma: float
     group_norm: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask):
@@ -209,9 +222,11 @@ class ConvBlock(nn.Module):
             self.kernel_size,
             self.radius,
             self.sigma,
+            dtype=self.dtype,
             name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices)
-        x = MaskedGroupNorm(self.group_norm, self.out_channels, name="norm")(x, q_mask)
+        x = MaskedGroupNorm(self.group_norm, self.out_channels, dtype=self.dtype,
+                            name="norm")(x, q_mask)
         return nn.leaky_relu(x, 0.1)
 
 
@@ -225,27 +240,28 @@ class ResidualBlock(nn.Module):
     sigma: float
     group_norm: int
     strided: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask, s_mask):
         mid = self.out_channels // 4
 
         if self.in_channels != mid:
-            x = UnaryBlock(self.in_channels, mid, self.group_norm, name="unary1")(
-                s_feats, s_mask
-            )
+            x = UnaryBlock(self.in_channels, mid, self.group_norm, dtype=self.dtype,
+                           name="unary1")(s_feats, s_mask)
         else:
             x = s_feats
 
-        x = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma, name="KPConv")(
+        x = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma,
+                   dtype=self.dtype, name="KPConv")(
             x, q_points, s_points, neighbor_indices
         )
-        x = MaskedGroupNorm(self.group_norm, mid, name="norm_conv")(x, q_mask)
+        x = MaskedGroupNorm(self.group_norm, mid, dtype=self.dtype,
+                            name="norm_conv")(x, q_mask)
         x = nn.leaky_relu(x, 0.1)
 
-        x = UnaryBlock(mid, self.out_channels, self.group_norm, has_relu=False, name="unary2")(
-            x, q_mask
-        )
+        x = UnaryBlock(mid, self.out_channels, self.group_norm, has_relu=False,
+                       dtype=self.dtype, name="unary2")(x, q_mask)
 
         if self.strided:
             shortcut = maxpool(s_feats, neighbor_indices)
@@ -257,6 +273,7 @@ class ResidualBlock(nn.Module):
                 self.out_channels,
                 self.group_norm,
                 has_relu=False,
+                dtype=self.dtype,
                 name="unary_shortcut",
             )(shortcut, q_mask)
 

@@ -35,6 +35,7 @@ class ThDRoFormer(nn.Module):
     num_layers: int
     # per-self-layer top-k fractions (reference k schedule, thdroformer.py:132-135)
     k: Optional[Tuple[float, ...]] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -48,13 +49,14 @@ class ThDRoFormer(nn.Module):
     ):
         # positional embedding: Linear(3 -> hidden/2) of raw xyz
         # (reference posEmbedding, thdroformer.py:253-263)
-        embed = nn.Dense(self.hidden_dim // 2, name="embedding")
+        # positional angles stay f32 (rotary phases are precision-sensitive)
+        embed = nn.Dense(self.hidden_dim // 2, dtype=jnp.float32, name="embedding")
         ref_pe = embed(ref_points)
         src_pe = embed(src_points)
 
-        in_proj = nn.Dense(self.hidden_dim, name="in_proj")
-        ref_x = in_proj(ref_feats)
-        src_x = in_proj(src_feats)
+        in_proj = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")
+        ref_x = in_proj(ref_feats.astype(self.dtype))
+        src_x = in_proj(src_feats.astype(self.dtype))
 
         for layer in range(self.num_layers):
             if self.k is not None:
@@ -63,21 +65,24 @@ class ThDRoFormer(nn.Module):
             else:
                 topk = None
             self_layer = RotaryTransformerLayer(
-                self.hidden_dim, self.num_heads, topk=topk, name=f"self_{layer}"
+                self.hidden_dim, self.num_heads, topk=topk, dtype=self.dtype,
+                name=f"self_{layer}"
             )
             ref_x = self_layer(ref_x, ref_x, ref_pe, memory_valid=ref_valid)
             src_x = self_layer(src_x, src_x, src_pe, memory_valid=src_valid)
 
             cross_layer = TransformerLayer(
-                self.hidden_dim, self.num_heads, name=f"cross_{layer}"
+                self.hidden_dim, self.num_heads, dtype=self.dtype,
+                name=f"cross_{layer}"
             )
             # sequential cross (reference parallel=False,
             # thdroformer.py:243-245): ref attends updated-src order preserved
             ref_x = cross_layer(ref_x, src_x, memory_valid=src_valid)
             src_x = cross_layer(src_x, ref_x, memory_valid=ref_valid)
 
-        out_proj = nn.Dense(self.output_dim, name="out_proj")
-        return out_proj(ref_x), out_proj(src_x)
+        out_proj = nn.Dense(self.output_dim, dtype=self.dtype, name="out_proj")
+        return (out_proj(ref_x).astype(jnp.float32),
+                out_proj(src_x).astype(jnp.float32))
 
 
 class APETransformer(nn.Module):

@@ -18,6 +18,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host initialization (call once per host before device use).
+
+    Thin wrapper over jax.distributed.initialize: coordinator/process info
+    comes from the TPU environment automatically on Cloud TPU; kwargs
+    override for manual setups. Replaces the reference's
+    dist.init_process_group NCCL bootstrap (base_trainer.py:63-78).
+    """
+    import jax.distributed
+
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(dp: Optional[int] = None, devices=None) -> Mesh:
     """A 1-D data-parallel mesh over the first ``dp`` devices (all by default)."""
     devices = list(devices if devices is not None else jax.devices())
