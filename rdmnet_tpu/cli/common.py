@@ -25,11 +25,18 @@ def build_model_and_params(
     model = RDMNet(cfg)
     rng = np.random.RandomState(0)
     pts = (rng.rand(256, 3) * 10).astype(np.float32)
-    rp, rc = pad_cloud(jnp.asarray(pts), cfg.pyramid.caps[0])
-    example = build_pair_batch(rp, rc, rp, rc, jnp.eye(4), cfg.pyramid)
-    params = model.init(jax.random.PRNGKey(cfg.seed), example, training=False, with_gt=False)
+
+    @jax.jit
+    def _init(key):
+        rp, rc = pad_cloud(jnp.asarray(pts), cfg.pyramid.caps[0])
+        example = build_pair_batch(rp, rc, rp, rc, jnp.eye(4), cfg.pyramid)
+        return model.init(key, example, training=False, with_gt=False)
+
+    params = _init(jax.random.PRNGKey(cfg.seed))
 
     if snapshot_dir and os.path.isdir(snapshot_dir):
+        rp, rc = pad_cloud(jnp.asarray(pts), cfg.pyramid.caps[0])
+        example = build_pair_batch(rp, rc, rp, rc, jnp.eye(4), cfg.pyramid)
         state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed), example)
         mgr = CheckpointManager(snapshot_dir)
         state, meta = mgr.restore(state, step=epoch)
@@ -37,11 +44,29 @@ def build_model_and_params(
     return model, params
 
 
-def make_pair_batch_np(cfg: Config, ref_points: np.ndarray, src_points: np.ndarray, transform: np.ndarray):
+def pad_pair_np(cfg: Config, ref_points: np.ndarray, src_points: np.ndarray):
+    """Host-side padding only; the pyramid must be built INSIDE a jitted
+    function (eager building pays per-op dispatch latency)."""
     cap = cfg.pyramid.caps[0]
-    rp, rc = pad_cloud(jnp.asarray(ref_points), cap)
-    sp, sc = pad_cloud(jnp.asarray(src_points), cap)
-    return build_pair_batch(rp, rc, sp, sc, jnp.asarray(transform), cfg.pyramid)
+    rp = np.full((cap, 3), 1e9, np.float32)
+    n_ref = min(len(ref_points), cap)
+    rp[:n_ref] = ref_points[:n_ref]
+    sp = np.full((cap, 3), 1e9, np.float32)
+    n_src = min(len(src_points), cap)
+    sp[:n_src] = src_points[:n_src]
+    return rp, np.int32(n_ref), sp, np.int32(n_src)
+
+
+def make_forward(cfg: Config, model, with_gt: bool):
+    """Jitted end-to-end pipeline: padded arrays in -> outputs. The pyramid
+    builds on device inside the same program as the model."""
+
+    @jax.jit
+    def forward(params, rp, rc, sp, sc, transform):
+        batch = build_pair_batch(rp, rc, sp, sc, transform, cfg.pyramid)
+        return model.apply(params, batch, training=False, with_gt=with_gt)
+
+    return forward
 
 
 def trim_outputs(out: Dict, transform: np.ndarray) -> Dict[str, np.ndarray]:

@@ -69,7 +69,10 @@ def ransac_np(src, ref, weights, num_iterations=5000, num_samples=4, threshold=0
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--feature_dir", required=True)
-    parser.add_argument("--method", default="lgr", choices=["lgr", "svd", "ransac"])
+    parser.add_argument(
+        "--method", default="lgr",
+        choices=["lgr", "svd", "ransac", "ransac_featurematch"],
+    )
     parser.add_argument("--num_corr", type=int, default=None)
     parser.add_argument("--ransac_iterations", type=int, default=50000)
     parser.add_argument("--verbose", action="store_true")
@@ -131,6 +134,23 @@ def main():
             est = d["estimated_transform"]
         elif args.method == "svd":
             est = procrustes_np(src_corr, ref_corr, corr_scores)
+        elif args.method == "ransac_featurematch":
+            # correspondences from mutual-NN coarse feature matching
+            # (reference eval.py method 'ransac_featurematch' via o3d
+            # feature RANSAC): match node features, RANSAC on node pairs
+            rf, sf = d["ref_feats_c"], d["src_feats_c"]
+            sim = rf @ sf.T
+            r2s = sim.argmax(1)
+            s2r = sim.argmax(0)
+            mutual = s2r[r2s] == np.arange(len(rf))
+            ref_m = d["ref_points_c"][mutual]
+            src_m = d["src_points_c"][r2s[mutual]]
+            est = ransac_np(
+                src_m, ref_m, np.ones(len(ref_m)),
+                num_iterations=args.ransac_iterations,
+                num_samples=cfg.ransac.num_points,
+                threshold=cfg.ransac.distance_threshold,
+            )
         else:
             est = ransac_np(
                 src_corr, ref_corr, corr_scores,

@@ -17,7 +17,7 @@ import jax
 import numpy as np
 
 from rdmnet_tpu.config import make_cfg
-from rdmnet_tpu.cli.common import build_model_and_params, make_pair_batch_np, trim_outputs
+from rdmnet_tpu.cli.common import build_model_and_params, make_forward, pad_pair_np, trim_outputs
 from rdmnet_tpu.data.datasets import RegistrationPairDataset
 
 
@@ -36,16 +36,13 @@ def main():
         "kitti", root=args.asset_dir, subset="infer", demo_asset_dir=args.asset_dir
     )
     model, params = build_model_and_params(cfg, args.snapshot_dir, args.test_epoch)
-
-    @jax.jit
-    def forward(params, batch):
-        return model.apply(params, batch, training=False, with_gt=False)
+    forward = make_forward(cfg, model, with_gt=False)
 
     pose_lines = []
     for i in range(len(dataset)):
         item = dataset[i]
-        batch = make_pair_batch_np(cfg, item["ref_points"], item["src_points"], np.eye(4, dtype=np.float32))
-        out = forward(params, batch)
+        rp, rc, sp, sc = pad_pair_np(cfg, item["ref_points"], item["src_points"])
+        out = forward(params, rp, rc, sp, sc, np.eye(4, dtype=np.float32))
         dumped = trim_outputs(out, np.eye(4, dtype=np.float32))
         est = dumped["estimated_transform"]
 

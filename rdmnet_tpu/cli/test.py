@@ -21,7 +21,8 @@ import jax
 import numpy as np
 
 from rdmnet_tpu.config import make_cfg
-from rdmnet_tpu.cli.common import build_model_and_params, make_pair_batch_np, trim_outputs
+from rdmnet_tpu.cli.common import build_model_and_params, pad_pair_np, trim_outputs
+from rdmnet_tpu.graph.pyramid import build_pair_batch
 from rdmnet_tpu.data.datasets import RegistrationPairDataset
 from rdmnet_tpu.engine.meters import SummaryBoard, Timer
 from rdmnet_tpu.losses import Evaluator
@@ -55,7 +56,8 @@ def main():
     evaluator = Evaluator(cfg)
 
     @jax.jit
-    def forward(params, batch: PairBatch):
+    def forward(params, rp, rc, sp, sc, transform):
+        batch = build_pair_batch(rp, rc, sp, sc, transform, cfg.pyramid)
         out = model.apply(params, batch, training=False, with_gt=True)
         metrics = evaluator(out, batch, evaling=True)
         return out, metrics
@@ -65,9 +67,9 @@ def main():
     timer.tic()
     for i in range(len(dataset)):
         item = dataset[i]
-        batch = make_pair_batch_np(cfg, item["ref_points"], item["src_points"], item["transform"])
+        rp, rc, sp, sc = pad_pair_np(cfg, item["ref_points"], item["src_points"])
         timer.record_prepare()
-        out, metrics = forward(params, batch)
+        out, metrics = forward(params, rp, rc, sp, sc, item["transform"])
         jax.block_until_ready(out["estimated_transform"])
         timer.record_process()
         board.update_from_dict(metrics)
