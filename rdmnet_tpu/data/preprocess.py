@@ -109,6 +109,93 @@ def read_velo2cam(calib_path: str) -> np.ndarray:
     raise ValueError(f"no Tr line in {calib_path}")
 
 
+def read_cam_to_velo(path: str) -> np.ndarray:
+    """KITTI-360 calibration/calib_cam_to_velo.txt: 12 floats -> (4, 4)."""
+    vals = np.genfromtxt(path).reshape(3, 4)
+    out = np.eye(4)
+    out[:3, :] = vals
+    return out
+
+
+def read_kitti360_cam0_poses(path: str):
+    """KITTI-360 data_poses/.../cam0_to_world.txt: 'frame p00..p33' rows.
+
+    Returns (frame_ids (N,), poses (N, 4, 4))."""
+    data = np.loadtxt(path)
+    frames = data[:, 0].astype(np.int64)
+    poses = data[:, 1:17].reshape(-1, 4, 4)
+    return frames, poses
+
+
+class DatasetAdapter:
+    """Paths + pose/calib conventions for pair generation per dataset.
+
+    Mirrors the reference's four near-identical generators
+    (preporcess/generate_{kitti,kitti360,apollo,mulran}_pairs.py): each
+    provides per-sequence poses (sensor trajectory in a common frame), the
+    velodyne<->pose-frame calibration, and scan paths.
+    """
+
+    def __init__(self, dataset: str, root: str):
+        self.dataset = dataset
+        self.root = root
+
+    def scan_paths(self, seq):
+        pats = {
+            "kitti": f"sequences/{seq:02d}/velodyne/*.bin",
+            "kitti360": f"data_3d_raw/2013_05_28_drive_{seq:04d}_sync/velodyne_points/data/*.bin",
+            "apollo": f"kitti_format/MapData/ColumbiaPark/2018-09-21/{seq:02d}/velodyne/*.bin",
+            "mulran": f"{seq}/sensor_data/Ouster/*.bin",
+        }
+        return sorted(glob.glob(osp.join(self.root, pats[self.dataset])))
+
+    def frame_ids(self, seq):
+        return sorted(
+            int(osp.splitext(osp.basename(f))[0]) for f in self.scan_paths(seq)
+        )
+
+    def scan_path(self, seq, frame):
+        pats = {
+            "kitti": f"sequences/{seq:02d}/velodyne/{frame:06d}.bin",
+            "kitti360": f"data_3d_raw/2013_05_28_drive_{seq:04d}_sync/velodyne_points/data/{frame:010d}.bin",
+            "apollo": f"kitti_format/MapData/ColumbiaPark/2018-09-21/{seq:02d}/velodyne/{frame:06d}.bin",
+            "mulran": f"{seq}/sensor_data/Ouster/{frame:d}.bin",
+        }
+        return osp.join(self.root, pats[self.dataset])
+
+    def poses_and_calib(self, seq):
+        """Returns (frame->pose-row mapping array or None, poses (N,4,4),
+        velo2cam (4,4))."""
+        if self.dataset == "kitti":
+            poses = read_kitti_poses(osp.join(self.root, "poses", f"{seq:02d}.txt"))
+            v2c = read_velo2cam(osp.join(self.root, "sequences", f"{seq:02d}", "calib.txt"))
+            return None, poses, v2c
+        if self.dataset == "kitti360":
+            frames, poses = read_kitti360_cam0_poses(
+                osp.join(self.root, "data_poses",
+                         f"2013_05_28_drive_{seq:04d}_sync", "cam0_to_world.txt")
+            )
+            cam_to_velo = read_cam_to_velo(
+                osp.join(self.root, "calibration", "calib_cam_to_velo.txt")
+            )
+            # cam0 poses + cam->velo calib; velo2cam = inv(cam_to_velo)
+            return frames, poses, np.linalg.inv(cam_to_velo)
+        if self.dataset == "apollo":
+            poses = read_kitti_poses(
+                osp.join(self.root, "kitti_format/MapData/ColumbiaPark/2018-09-21",
+                         f"{seq:02d}", "poses.txt")
+            )
+            return None, poses, np.eye(4)
+        if self.dataset == "mulran":
+            poses = read_kitti_poses(
+                osp.join(self.root, str(seq), "sensor_data",
+                         "poses_in_kitti_format.txt")
+            )
+            # mulran scan names are timestamps: pose row i <-> i-th sorted scan
+            return np.asarray(self.frame_ids(seq)), poses, np.eye(4)
+        raise ValueError(self.dataset)
+
+
 def downsample_sequence(
     root: str, seq_id: str, voxel_size: float = 0.3, out_root: Optional[str] = None
 ) -> int:
@@ -126,52 +213,101 @@ def downsample_sequence(
     return len(files)
 
 
+def downsample_dataset_sequence(
+    dataset: str, root: str, seq, voxel_size: float = 0.3,
+    out_root: Optional[str] = None, keep_intensity: bool = True,
+) -> int:
+    """Dataset-generic downsample (reference downsample_pcd_{kitti,kitti360,
+    apollo,mulran}.py; mulran drops intensity)."""
+    from rdmnet_tpu.data.datasets import SCHEMAS
+
+    adapter = DatasetAdapter(dataset, root)
+    out_root = out_root or root
+    files = adapter.scan_paths(seq)
+    schema = SCHEMAS[dataset]
+    n = 0
+    for fname in files:
+        frame = int(osp.splitext(osp.basename(fname))[0])
+        rel = schema.cloud_path.format(seq=seq, frame=frame)
+        out_path = osp.join(out_root, rel)
+        os.makedirs(osp.dirname(out_path), exist_ok=True)
+        points = np.fromfile(fname, dtype=np.float32).reshape(-1, 4)
+        if dataset == "mulran" or not keep_intensity:
+            points = np.concatenate(
+                [points[:, :3], np.zeros((len(points), 1), np.float32)], 1
+            )
+        xyzi = voxel_downsample_xyzi(points, voxel_size)
+        np.save(out_path, xyzi)
+        n += 1
+    return n
+
+
 def generate_pairs_for_sequence(
     root: str,
-    seq: int,
+    seq,
     thres: float = 10.0,
     icp_voxel: float = 0.3,
     out_root: Optional[str] = None,
+    dataset: str = "kitti",
 ) -> List[str]:
-    """D3Feat-style pair selection + ICP-refined GT for one KITTI sequence
-    (reference generate_kitti_pairs.py:95-195). Returns the GT lines written.
+    """D3Feat-style pair selection + ICP-refined GT for one sequence of any
+    supported dataset (reference generate_{kitti,kitti360,apollo,mulran}_
+    pairs.py). Returns the GT lines written.
     """
     out_root = out_root or root
-    poses = read_kitti_poses(osp.join(root, "poses", f"{seq:02d}.txt"))
-    velo2cam = read_velo2cam(osp.join(root, "sequences", f"{seq:02d}", "calib.txt"))
+    adapter = DatasetAdapter(dataset, root)
+    frame_map, poses, velo2cam = adapter.poses_and_calib(seq)
 
-    fnames = glob.glob(osp.join(root, "sequences", f"{seq:02d}", "velodyne", "*.bin"))
-    inames = sorted(int(osp.splitext(osp.basename(f))[0]) for f in fnames)
+    inames = adapter.frame_ids(seq)
     iname_set = set(inames)
+    if frame_map is not None:
+        # pose row i corresponds to frame frame_map[i]
+        row_of_frame = {int(f): i for i, f in enumerate(frame_map)}
+    else:
+        row_of_frame = None
+
+    def pose_of(frame):
+        row = row_of_frame[frame] if row_of_frame is not None else frame
+        return poses[row]
+
+    def frame_at_offset(frame, offset):
+        """frame index advanced by `offset` pose rows (kitti/apollo: same
+        as +offset; mulran/kitti360: step through the frame list)."""
+        if row_of_frame is None:
+            return frame + offset
+        row = row_of_frame.get(frame)
+        if row is None or row + offset >= len(frame_map) or row + offset < 0:
+            return None
+        return int(frame_map[row + offset])
 
     ts = poses[:, :3, 3]
     lines = []
     curr = inames[0]
     while curr in iname_set:
-        # next frame more than `thres` meters away within the next 100
-        window = np.linalg.norm(ts[curr : curr + 100] - ts[curr], axis=1) > thres
+        row = row_of_frame[curr] if row_of_frame is not None else curr
+        # next frame more than `thres` meters away within the next 100 rows
+        window = np.linalg.norm(ts[row : row + 100] - ts[row], axis=1) > thres
         hits = np.where(window)[0]
         if len(hits) == 0:
-            curr += 1
+            curr = frame_at_offset(curr, 1)
+            if curr is None:
+                break
             continue
-        nxt = int(hits[0]) + curr - 1
-        if nxt not in iname_set:
-            curr += 1
+        nxt = frame_at_offset(curr, int(hits[0]) - 1)
+        if nxt is None or nxt not in iname_set:
+            curr = frame_at_offset(curr, 1)
+            if curr is None:
+                break
             continue
 
         # GT pose in velodyne frame: M = (velo2cam @ P0^T @ inv(P1^T) @ inv(velo2cam))^T
         m = (
-            velo2cam @ poses[curr].T @ np.linalg.inv(poses[nxt].T) @ np.linalg.inv(velo2cam)
+            velo2cam @ pose_of(curr).T @ np.linalg.inv(pose_of(nxt).T)
+            @ np.linalg.inv(velo2cam)
         ).T
 
-        xyz0 = np.fromfile(
-            osp.join(root, "sequences", f"{seq:02d}", "velodyne", f"{curr:06d}.bin"),
-            dtype=np.float32,
-        ).reshape(-1, 4)[:, :3]
-        xyz1 = np.fromfile(
-            osp.join(root, "sequences", f"{seq:02d}", "velodyne", f"{nxt:06d}.bin"),
-            dtype=np.float32,
-        ).reshape(-1, 4)[:, :3]
+        xyz0 = np.fromfile(adapter.scan_path(seq, curr), dtype=np.float32).reshape(-1, 4)[:, :3]
+        xyz1 = np.fromfile(adapter.scan_path(seq, nxt), dtype=np.float32).reshape(-1, 4)[:, :3]
         # ICP on voxel-downsampled clouds (speeds up the refinement; o3d's
         # dense-cloud ICP at 0.5 m threshold converges to the same optimum)
         xyz0 = voxel_downsample_xyzi(
@@ -190,10 +326,15 @@ def generate_pairs_for_sequence(
         lines.append(
             f"{curr} {nxt} " + " ".join(f"{v:.6f}" for v in vals) + " "
         )
-        curr = nxt + 1
+        curr = frame_at_offset(nxt, 1)
+        if curr is None:
+            break
 
     icp_dir = osp.join(out_root, f"icp{int(thres)}")
     os.makedirs(icp_dir, exist_ok=True)
-    with open(osp.join(icp_dir, f"{seq:02d}"), "w") as f:
+    from rdmnet_tpu.data.datasets import SCHEMAS
+
+    gt_name = SCHEMAS[dataset].gt_file.format(seq=seq).split("/")[-1]
+    with open(osp.join(icp_dir, gt_name), "w") as f:
         f.write("\n".join(lines) + ("\n" if lines else ""))
     return lines
