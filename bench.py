@@ -53,23 +53,27 @@ def main():
         return out["estimated_transform"], out["corr_scores"]
 
     params = init(jax.random.PRNGKey(0))
-    # warmup / compile; fetch to host — under the axon tunnel
-    # block_until_ready does not reliably synchronize, so every timing
-    # below chains each iteration's input on the previous output and ends
-    # with a host fetch (the only trustworthy barrier).
+    # Measurement notes for this remote-device (tunnel) environment:
+    # * block_until_ready does not reliably synchronize -> every timing
+    #   chains each iteration's input on the previous output and ends with
+    #   a host fetch (the only trustworthy barrier);
+    # * the FIRST post-compile execution loop runs ~20x slower than steady
+    #   state (executable warm-up) -> run the loop twice, report the second.
     tf, _ = pipeline(params, rp, rc, sp, sc)
     _ = np.asarray(tf)
 
     iters = 20
-    t0 = time.perf_counter()
-    cur_rp = rp
-    for _ in range(iters):
-        tf, scores = pipeline(params, cur_rp, rc, sp, sc)
-        # data dependency: next input depends on this output (adds ~0 work,
-        # defeats any client-side caching/reordering)
-        cur_rp = cur_rp + 0.0 * tf[0, 0]
-    _ = np.asarray(tf)
-    dt = (time.perf_counter() - t0) / iters
+    dt = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        cur_rp = rp
+        for _ in range(iters):
+            tf, scores = pipeline(params, cur_rp, rc, sp, sc)
+            # data dependency: next input depends on this output (defeats
+            # any client-side caching/reordering)
+            cur_rp = cur_rp + 0.0 * tf[0, 0]
+        _ = np.asarray(tf)
+        dt = (time.perf_counter() - t0) / iters
 
     pairs_per_sec = 1.0 / dt
     print(
