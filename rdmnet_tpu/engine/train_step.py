@@ -113,7 +113,10 @@ def make_eval_step(cfg: Config, with_transform: bool = True) -> Callable:
     evaluator = Evaluator(cfg)
 
     def single(params, apply_fn, batch):
-        out = apply_fn(params, batch, training=False, with_gt=True)
+        # pallas-off under vmap: vmapped pallas_call has shown pathological
+        # XLA compile times on this backend
+        out = apply_fn(params, batch, training=False, with_gt=True,
+                       use_pallas_sinkhorn=False)
         metrics = evaluator(out, batch, evaling=with_transform)
         return metrics, out["estimated_transform"]
 

@@ -52,6 +52,7 @@ class RDMNet(nn.Module):
         training: bool = False,
         with_gt: bool = True,
         target_key: Optional[jax.Array] = None,
+        use_pallas_sinkhorn: Optional[bool] = None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -275,9 +276,11 @@ class RDMNet(nn.Module):
             "pkc,plc->pkl", p_ref_knn_feats, p_src_knn_feats,
             preferred_element_type=jnp.float32,
         ) / jnp.sqrt(jnp.asarray(ref_feats_f.shape[1], jnp.float32))
+        if use_pallas_sinkhorn is None:
+            use_pallas_sinkhorn = not training  # autodiff needs the scan path
         matching_scores = LearnableLogOptimalTransport(
             cfg.model.num_sinkhorn_iterations, name="optimal_transport"
-        )(sim, p_ref_knn_masks, p_src_knn_masks, use_pallas=not training)
+        )(sim, p_ref_knn_masks, p_src_knn_masks, use_pallas=use_pallas_sinkhorn)
         out["matching_scores"] = matching_scores        # (P, K+1, K+1)
 
         # ---------------- local-to-global registration ---------------------
