@@ -42,6 +42,12 @@ class PyramidConfig:
     # faster than exact top_k on the 30k-point level; disabled automatically
     # for small supports).
     approx_recall: Optional[float] = 0.95
+    # First level whose upsampling table is actually built. The decoder stops
+    # at level 1, so upsampling[0] (the largest table, 30k queries) is never
+    # consumed — the reference computes-and-ignores it too
+    # (utils/data.py:59-66 vs experiments/backbone.py:139-147). Set to 0 to
+    # build all tables.
+    build_upsampling_from_level: int = 1
 
     def __post_init__(self):
         assert len(self.caps) == self.num_stages

@@ -110,12 +110,23 @@ def build_cloud_pyramid(
                 radius_knn(pts[i + 1], pts[i], cnts[i], radius,
                            spec.neighbor_limits[i], approx_recall=ar)
             )
-            upsampling.append(
-                radius_knn(
-                    pts[i], pts[i + 1], cnts[i + 1], radius * 2.0,
-                    spec.neighbor_limits[i + 1], approx_recall=ar,
+            if i >= spec.build_upsampling_from_level:
+                upsampling.append(
+                    radius_knn(
+                        pts[i], pts[i + 1], cnts[i + 1], radius * 2.0,
+                        spec.neighbor_limits[i + 1], approx_recall=ar,
+                    )
                 )
-            )
+            else:
+                # unconsumed table (see config note): all-sentinel placeholder
+                # keeps the pytree structure stable at zero compute
+                upsampling.append(
+                    jnp.full(
+                        (spec.caps[i], spec.neighbor_limits[i + 1]),
+                        spec.caps[i + 1],
+                        jnp.int32,
+                    )
+                )
         radius *= 2.0
 
     return CloudPyramid(

@@ -21,8 +21,10 @@ from rdmnet_tpu.nn.kpconv import (
     LastUnaryBlock,
     ResidualBlock,
     UnaryBlock,
+    kpconv_influence,
     nearest_upsample,
 )
+from rdmnet_tpu.nn.kernel_points import make_kernel_points
 
 
 class Encoder(nn.Module):
@@ -45,11 +47,21 @@ class Encoder(nn.Module):
 
         feats_list = []
 
+        # geometry-only kernel influences are shared by every block with the
+        # same (points, neighbors, radius): compute once per level
+        def self_influence(lvl, radius, sigma):
+            return kpconv_influence(
+                pts[lvl], pts[lvl], nbrs[lvl], make_kernel_points(radius, ks), sigma
+            )
+
+        infl0 = self_influence(0, r, s)
         x = ConvBlock(c.input_dim, d, ks, r, s, gn, dtype=self.dtype,
-                      name="encoder1_1")(feats, pts[0], pts[0], nbrs[0], masks[0])
+                      name="encoder1_1")(
+            feats, pts[0], pts[0], nbrs[0], masks[0], influence=infl0
+        )
         x = ResidualBlock(d, d * 2, ks, r, s, gn, dtype=self.dtype,
                           name="encoder1_2")(
-            x, pts[0], pts[0], nbrs[0], masks[0], masks[0]
+            x, pts[0], pts[0], nbrs[0], masks[0], masks[0], influence=infl0
         )
         feats_list.append(x)
 
@@ -60,14 +72,17 @@ class Encoder(nn.Module):
                 din, din, ks, r * 2**i, s * 2**i, gn, strided=True,
                 dtype=self.dtype, name=f"encoder{lvl + 1}_1",
             )(x, pts[lvl], pts[lvl - 1], subs[lvl - 1], masks[lvl], masks[lvl - 1])
+            infl = self_influence(lvl, r * 2 ** (i + 1), s * 2 ** (i + 1))
             x = ResidualBlock(
                 din, dout, ks, r * 2 ** (i + 1), s * 2 ** (i + 1), gn,
                 dtype=self.dtype, name=f"encoder{lvl + 1}_2",
-            )(x, pts[lvl], pts[lvl], nbrs[lvl], masks[lvl], masks[lvl])
+            )(x, pts[lvl], pts[lvl], nbrs[lvl], masks[lvl], masks[lvl],
+              influence=infl)
             x = ResidualBlock(
                 dout, dout, ks, r * 2 ** (i + 1), s * 2 ** (i + 1), gn,
                 dtype=self.dtype, name=f"encoder{lvl + 1}_3",
-            )(x, pts[lvl], pts[lvl], nbrs[lvl], masks[lvl], masks[lvl])
+            )(x, pts[lvl], pts[lvl], nbrs[lvl], masks[lvl], masks[lvl],
+              influence=infl)
             feats_list.append(x)
 
         return feats_list

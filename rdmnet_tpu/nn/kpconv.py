@@ -60,6 +60,27 @@ def knn_interpolate(
     return jnp.sum(knn_feats * w[..., None], axis=1)
 
 
+def kpconv_influence(
+    q_points: jnp.ndarray,
+    s_points: jnp.ndarray,
+    neighbor_indices: jnp.ndarray,
+    kernel_points: jnp.ndarray,
+    sigma: float,
+) -> jnp.ndarray:
+    """Geometry-only part of KPConv: linear-correlation influence of each
+    kernel point for every (query, neighbor) pair -> (M, H, K).
+
+    Depends only on positions/indices, so blocks sharing the same
+    (points, neighbors, radius, sigma) — e.g. the 2-3 residual blocks of an
+    encoder stage — compute it once and pass it in.
+    """
+    nbr_pts = gather_neighbors(s_points, neighbor_indices, fill=_INF_POINT)
+    offsets = nbr_pts - q_points[:, None, :]
+    diff = offsets[:, :, None, :] - kernel_points[None, None, :, :]
+    sq_dist = jnp.sum(diff * diff, axis=-1)
+    return jnp.maximum(1.0 - jnp.sqrt(sq_dist) / sigma, 0.0)
+
+
 def global_avgpool(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Masked global average over a padded cloud (reference
     functional.py:70-90 loops per batch element; here one masked mean)."""
@@ -84,7 +105,8 @@ class KPConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices,
+                 influence=None):
         k = self.kernel_size
         weights = self.param(
             "weights",
@@ -100,14 +122,10 @@ class KPConv(nn.Module):
         else:
             kernel_points = make_kernel_points(self.radius, k)
 
-        # neighbor offsets relative to each query (missing -> far away)
-        nbr_pts = gather_neighbors(s_points, neighbor_indices, fill=_INF_POINT)
-        offsets = nbr_pts - q_points[:, None, :]  # (M, H, 3)
-
-        # linear-correlation influence of each kernel point (M, H, K)
-        diff = offsets[:, :, None, :] - kernel_points[None, None, :, :]
-        sq_dist = jnp.sum(diff * diff, axis=-1)
-        influence = jnp.maximum(1.0 - jnp.sqrt(sq_dist) / self.sigma, 0.0)
+        if influence is None:
+            influence = kpconv_influence(
+                q_points, s_points, neighbor_indices, kernel_points, self.sigma
+            )
 
         nbr_feats = gather_neighbors(s_feats, neighbor_indices, fill=0.0)  # (M, H, C)
         # (M, K, H) @ (M, H, C) -> (M, K, C); MXU in compute dtype, f32 accum
@@ -215,7 +233,8 @@ class ConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask,
+                 influence=None):
         x = KPConv(
             self.in_channels,
             self.out_channels,
@@ -224,7 +243,7 @@ class ConvBlock(nn.Module):
             self.sigma,
             dtype=self.dtype,
             name="KPConv",
-        )(s_feats, q_points, s_points, neighbor_indices)
+        )(s_feats, q_points, s_points, neighbor_indices, influence=influence)
         x = MaskedGroupNorm(self.group_norm, self.out_channels, dtype=self.dtype,
                             name="norm")(x, q_mask)
         return nn.leaky_relu(x, 0.1)
@@ -243,7 +262,8 @@ class ResidualBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask, s_mask):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask, s_mask,
+                 influence=None):
         mid = self.out_channels // 4
 
         if self.in_channels != mid:
@@ -254,7 +274,7 @@ class ResidualBlock(nn.Module):
 
         x = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma,
                    dtype=self.dtype, name="KPConv")(
-            x, q_points, s_points, neighbor_indices
+            x, q_points, s_points, neighbor_indices, influence=influence
         )
         x = MaskedGroupNorm(self.group_norm, mid, dtype=self.dtype,
                             name="norm_conv")(x, q_mask)

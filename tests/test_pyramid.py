@@ -14,6 +14,7 @@ SPEC = PyramidConfig(
     search_radius=1.0,
     caps=(256, 128, 64),
     neighbor_limits=(12, 12, 12),
+    build_upsampling_from_level=0,  # build all tables for oracle checks
 )
 
 
@@ -98,6 +99,20 @@ class TestCloudPyramid:
         padded2, cnt2 = pad_cloud(jnp.asarray(pts2), 256)
         pyr2 = fn(padded2, cnt2)  # same shapes -> no recompile
         assert int(pyr1.counts[0]) == 100 and int(pyr2.counts[0]) == 180
+
+
+class TestUpsamplingSkip:
+    def test_default_skips_level0_table(self, rng):
+        import dataclasses
+        spec = dataclasses.replace(SPEC, build_upsampling_from_level=1)
+        pts = (rng.rand(150, 3) * 6).astype(np.float32)
+        padded, cnt = pad_cloud(jnp.asarray(pts), 256)
+        pyr = build_cloud_pyramid(padded, cnt, spec)
+        # placeholder: all sentinels, right shape
+        assert pyr.upsampling[0].shape == (256, 12)
+        assert np.all(np.asarray(pyr.upsampling[0]) == 128)
+        # level-1 table still real
+        assert (np.asarray(pyr.upsampling[1]) < 64).any()
 
 
 class TestPairBatch:
