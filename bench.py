@@ -31,11 +31,21 @@ def main():
     from rdmnet_tpu.graph.pyramid import build_pair_batch, pad_cloud
     from rdmnet_tpu.models import RDMNet
 
-    cfg = make_cfg()
-    model = RDMNet(cfg)
+    import dataclasses
 
+    from rdmnet_tpu.data.loader import choose_bucket
+
+    cfg = make_cfg()
     ref = np.load("/root/reference/assets/pc/000000.npy")[:, :3].astype(np.float32)
     src = np.load("/root/reference/assets/pc/000004.npy")[:, :3].astype(np.float32)
+
+    # production bucketing: compile the capacity bucket that fits the input
+    # (the loader's choose_bucket path); the 30k bucket serves training-sized
+    # clouds, the 0.7x bucket typical test scans
+    buckets = [cfg.pyramid.scaled(0.7), cfg.pyramid]
+    b = choose_bucket(max(len(ref), len(src)), [s.caps[0] for s in buckets])
+    cfg = dataclasses.replace(cfg, pyramid=buckets[b])
+    model = RDMNet(cfg)
     cap = cfg.pyramid.caps[0]
     rp, rc = pad_cloud(jnp.asarray(ref), cap)
     sp, sc = pad_cloud(jnp.asarray(src), cap)
