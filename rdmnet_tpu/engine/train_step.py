@@ -64,9 +64,11 @@ def create_train_state(
     steps_per_epoch: int = 1000, dp_size: int = 1,
 ) -> TrainState:
     model = RDMNet(cfg)
-    params = model.init(
-        rng, example_batch, training=True, with_gt=True, target_key=rng
-    )
+    # jit the init: eager execution pays per-op dispatch latency on remote
+    # devices (measured ~600s vs seconds for the full model)
+    params = jax.jit(
+        lambda r, b: model.init(r, b, training=True, with_gt=True, target_key=r)
+    )(rng, example_batch)
     tx, _ = create_optimizer(cfg, steps_per_epoch, dp_size)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
@@ -88,6 +90,12 @@ def make_train_step(cfg: Config) -> Callable:
 
     def batch_loss(params, apply_fn, batch, key):
         bsz = batch.transform.shape[0]
+        if bsz == 1:
+            # unbatched fast path: XLA:TPU's windowed top-k emitter aborts on
+            # vmapped (1, N) operands, and unvmapped gathers are faster anyway
+            single = jax.tree.map(lambda x: x[0], batch)
+            losses = single_pair_loss(params, apply_fn, single, key)
+            return losses["loss"], losses
         keys = jax.random.split(key, bsz)
         losses = jax.vmap(
             functools.partial(single_pair_loss, params, apply_fn)

@@ -230,6 +230,7 @@ class RDMNet(nn.Module):
             ref_node_masks, src_node_masks,
             cfg.coarse_matching.num_correspondences,
             cfg.coarse_matching.dual_normalization,
+            exact=not training,
         )
         out["ref_node_corr_indices"] = ref_corr
         out["src_node_corr_indices"] = src_corr

@@ -32,6 +32,7 @@ def superpoint_matching(
     ref_n2p_scores: jnp.ndarray | None = None,
     src_n2p_scores: jnp.ndarray | None = None,
     n2p_score_threshold: float = 0.1,
+    exact: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Top-k superpoint correspondences by dual-normalized feature similarity
     (reference superpoint_matching.py:14-83).
@@ -68,7 +69,15 @@ def superpoint_matching(
 
     # rank invalid pairs last
     flat = jnp.where(pair_valid, matching_scores, _NEG).reshape(-1)
-    corr_scores, corr_indices = jax.lax.top_k(flat, num_correspondences)
+    if exact:
+        corr_scores, corr_indices = jax.lax.top_k(flat, num_correspondences)
+    else:
+        # the exact windowed top-k emitter SIGABRTs in XLA:TPU when this op
+        # is vmapped (f32[1, M*N]); training only logs PIR from this result
+        # (GT targets replace it), so approximate selection is safe there
+        corr_scores, corr_indices = jax.lax.approx_max_k(
+            flat, num_correspondences, recall_target=0.95
+        )
     n = src_feats.shape[0]
     ref_corr_indices = (corr_indices // n).astype(jnp.int32)
     src_corr_indices = (corr_indices % n).astype(jnp.int32)
@@ -98,7 +107,9 @@ def superpoint_target_sample(
     eligible = gt_overlaps > overlap_threshold
     noise = jax.random.uniform(key, (m * n,))
     rank = jnp.where(eligible.reshape(-1), noise, _NEG)
-    top_vals, idx = jax.lax.top_k(rank, num_targets)
+    # approx top-k of uniform noise == stratified uniform sample; the exact
+    # emitter crashes under vmap on TPU (see superpoint_matching)
+    top_vals, idx = jax.lax.approx_max_k(rank, num_targets, recall_target=0.95)
     valid = top_vals > _NEG / 2
     ref_indices = (idx // n).astype(jnp.int32)
     src_indices = (idx % n).astype(jnp.int32)

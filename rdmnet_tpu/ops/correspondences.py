@@ -63,10 +63,18 @@ def node_correspondence_overlaps(
     margin = ref_rmax[:, None] + src_rmax[None, :] + pos_radius - node_dist
     pair_mask = (margin > 0) & ref_masks[:, None] & src_masks[None, :]
 
-    # static candidate set: top-C pairs by margin
+    # static candidate set: top-C pairs by margin. approx_max_k instead of
+    # top_k: XLA:TPU's exact windowed top-k emitter SIGABRTs on vmapped
+    # f32[1, M*N] operands; near-threshold candidates dropped by the 0.98
+    # recall have ~zero overlap anyway.
     num_candidates = min(num_candidates, m * n)
     flat = jnp.where(pair_mask, margin, -_BIG).reshape(-1)
-    top_vals, cand = jax.lax.top_k(flat, num_candidates)
+    if num_candidates == m * n:
+        top_vals, cand = jax.lax.top_k(flat, num_candidates)
+    else:
+        top_vals, cand = jax.lax.approx_max_k(
+            flat, num_candidates, recall_target=0.98
+        )
     cand_valid = top_vals > -_BIG / 2
     cand_ref = (cand // n).astype(jnp.int32)
     cand_src = (cand % n).astype(jnp.int32)

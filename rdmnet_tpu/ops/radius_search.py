@@ -83,8 +83,10 @@ def radius_knn(
         # more neighbor slots than support points: compute with k=s and pad
         inner = radius_knn(q_points, s_points, s_count, radius, s, chunk_size)
         return jnp.pad(inner, ((0, 0), (0, k - s)), constant_values=s)
-    if approx_recall is not None and s < 1024:
-        approx_recall = None  # approx reduction needs wide rows to pay off
+    if approx_recall is not None and s < 4 * k:
+        # too few candidates for a windowed reduction to make sense (and the
+        # exact path is cheap here)
+        approx_recall = None
     s_invalid = jnp.arange(s, dtype=jnp.int32) >= s_count
     s_sq = jnp.sum(s_points * s_points, axis=-1)
     radius_sq = jnp.asarray(radius * radius, jnp.float32)
