@@ -2,9 +2,10 @@
 
 Re-design of reference experiments/model.py:26-404 (RDMNet.forward traced in
 SURVEY.md §3.2). One registration pair per call; batch via jax.vmap of
-``model.apply``. The (ref, src) clouds are stacked on a leading axis of 2 and
-the KPConv backbone is nn.vmap'd over it — one compiled backbone, both
-clouds through the MXU together.
+``model.apply`` (batch 1 should skip vmap — see engine/train_step.py). The
+(ref, src) clouds run through ONE shared-weight backbone sequentially:
+batched gathers under vmap are measurably slower on TPU than two unbatched
+passes.
 
 Static-mode flags (Python bools -> separate compiled graphs, like the
 reference's training/testing branches):
@@ -22,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rdmnet_tpu.config import Config
-from rdmnet_tpu.graph.pyramid import CloudPyramid, PairBatch
+from rdmnet_tpu.graph.pyramid import PairBatch
 from rdmnet_tpu.nn.backbone import Decoder, Encoder
 from rdmnet_tpu.nn.matching import superpoint_matching, superpoint_target_sample
 from rdmnet_tpu.nn.sinkhorn import LearnableLogOptimalTransport
@@ -39,6 +40,7 @@ from rdmnet_tpu.ops.partition import point_to_node_partition
 
 
 def _stack_pair(ref_tree, src_tree):
+    """Stack two cloud pytrees on a new leading axis (profiling helper)."""
     return jax.tree.map(lambda a, b: jnp.stack([a, b]), ref_tree, src_tree)
 
 
