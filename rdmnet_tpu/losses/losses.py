@@ -27,6 +27,9 @@ from rdmnet_tpu.ops.correspondences import radius_correspondence_masks
 from rdmnet_tpu.ops.geometry import apply_transform, masked_mean, pairwise_sq_dist
 
 _BIG = 1.0e12
+_SQRT_EPS = 1e-12  # sqrt(0) has an infinite gradient; every loss-side sqrt
+                   # is guarded so exact-zero distances (perfect matches)
+                   # cannot NaN the backward pass
 
 
 def _weighted_bce(pred: jnp.ndarray, gt: jnp.ndarray, valid: jnp.ndarray, eps=1e-7):
@@ -54,7 +57,9 @@ class CoarseMatchingLoss:
         overlaps = out["gt_node_corr_overlaps"]  # (M, N) dense
         pair_valid = out["ref_node_masks"][:, None] & out["src_node_masks"][None, :]
 
-        feat_dists = jnp.sqrt(pairwise_sq_dist(ref_feats, src_feats, normalized=True))
+        feat_dists = jnp.sqrt(
+            pairwise_sq_dist(ref_feats, src_feats, normalized=True) + _SQRT_EPS
+        )
         pos_masks = overlaps > self.cfg.positive_overlap
         neg_masks = overlaps == 0.0
         pos_scales = jnp.sqrt(overlaps * pos_masks.astype(overlaps.dtype))
@@ -182,7 +187,7 @@ class VoteLoss:
 
         sq = pairwise_sq_dist(ref_node, src_node)
         sq = jnp.where(ref_vm[:, None] & src_vm[None, :], sq, _BIG)
-        dist = jnp.sqrt(sq)
+        dist = jnp.sqrt(sq + _SQRT_EPS)
 
         ref_sel = jnp.any(mask_mat, axis=1)
         src_sel = jnp.any(mask_mat, axis=0)
@@ -209,7 +214,7 @@ class SingleSideChamferLoss:
         def side(nodes, node_m, points, point_m):
             sq = pairwise_sq_dist(nodes, points)
             sq = jnp.where(point_m[None, :], sq, _BIG)
-            return masked_mean(jnp.sqrt(jnp.min(sq, axis=1)), node_m)
+            return masked_mean(jnp.sqrt(jnp.min(sq, axis=1) + _SQRT_EPS), node_m)
 
         ref = side(out["shifted_ref_points_c"], out["ref_mask_c"],
                    out["ref_points_f"], out["ref_mask_f"])
