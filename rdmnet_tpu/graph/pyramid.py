@@ -81,6 +81,22 @@ def build_cloud_pyramid(
     assert points.shape[0] == spec.caps[0], (
         f"level-0 capacity mismatch: {points.shape[0]} vs {spec.caps[0]}"
     )
+    # Spatially sort level 0 by voxel key (levels 1+ come out of the
+    # subsample already sorted): neighbor indices then point at nearby rows,
+    # improving HBM gather locality in the KPConv stages. Point order is an
+    # internal detail — every consumer goes through the index tables.
+    n0 = points.shape[0]
+    coords = jnp.floor(points / (2.0 * spec.voxel_size)).astype(jnp.int32)
+    key = (
+        (jnp.clip(coords[:, 2], 0, 1023) << 22)
+        | (jnp.clip(coords[:, 1], 0, 2047) << 11)
+        | jnp.clip(coords[:, 0], 0, 2047)
+    )
+    valid0 = jnp.arange(n0, dtype=jnp.int32) < count
+    key = jnp.where(valid0, key, jnp.iinfo(jnp.int32).max)
+    _, order = jax.lax.sort((key, jnp.arange(n0, dtype=jnp.int32)), num_keys=1)
+    points = jnp.take(points, order, axis=0)
+
     pts = [points]
     cnts = [count.astype(jnp.int32)]
 
