@@ -100,6 +100,15 @@ def build_pyramid_native(points: np.ndarray, spec, pad_coord: float = 1.0e9):
     level_points: List[np.ndarray] = []
     counts: List[int] = []
     p, c = points[: spec.caps[0]], min(len(points), spec.caps[0])
+    # canonical level-0 order: voxel-key sort (matches the device builder's
+    # gather-locality sort, rdmnet_tpu/graph/pyramid.py)
+    coords = np.floor(p / (2.0 * spec.voxel_size)).astype(np.int64)
+    key = (
+        (np.clip(coords[:, 2], 0, 1023) << 22)
+        | (np.clip(coords[:, 1], 0, 2047) << 11)
+        | np.clip(coords[:, 0], 0, 2047)
+    )
+    p = p[np.argsort(key, kind="stable")]
     padded = np.full((spec.caps[0], 3), pad_coord, np.float32)
     padded[:c] = p
     level_points.append(padded)
