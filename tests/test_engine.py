@@ -1,0 +1,82 @@
+"""Engine integration: trainer epoch loop, orbax snapshot round trip, resume."""
+
+import os
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rdmnet_tpu.config import make_tiny_cfg
+from rdmnet_tpu.data.datasets import RegistrationPairDataset
+from rdmnet_tpu.data.loader import PairLoader
+from rdmnet_tpu.engine.checkpoint import CheckpointManager
+from rdmnet_tpu.engine.trainer import Trainer
+from rdmnet_tpu.engine.train_step import create_train_state
+from tests.test_train import make_batch
+
+
+@pytest.fixture
+def tiny_kitti(tmp_path, rng):
+    """Synthetic KITTI layout: 3 train pairs + 1 val pair, small clouds."""
+    root = tmp_path / "kitti"
+    (root / "icp10").mkdir(parents=True)
+    (root / "downsampled_xyzi" / "00").mkdir(parents=True)
+    (root / "downsampled_xyzi" / "06").mkdir(parents=True)
+    tf = np.eye(3, 4).reshape(-1)
+    line = lambda i: f"{i + 1} {i} " + " ".join(str(v) for v in tf)
+    (root / "icp10" / "00").write_text("\n".join(line(i) for i in range(3)))
+    for seq in range(1, 6):
+        (root / "icp10" / f"{seq:02d}").write_text("")
+    (root / "icp10" / "06").write_text(line(0))
+    (root / "icp10" / "07").write_text("")
+    for seq, n in [("00", 4), ("06", 2)]:
+        for i in range(n):
+            pts = (rng.rand(300, 4) * 15).astype(np.float32)
+            np.save(root / "downsampled_xyzi" / seq / f"{i:06d}.npy", pts)
+    return str(root)
+
+
+class TestCheckpointRoundTrip:
+    def test_save_restore(self, tmp_path, rng):
+        cfg = make_tiny_cfg()
+        batch = make_batch(cfg, None, bsz=1)
+        single = jax.tree.map(lambda x: x[0], batch)
+        state = create_train_state(cfg, jax.random.PRNGKey(0), single, steps_per_epoch=5)
+        mgr = CheckpointManager(str(tmp_path / "snap"))
+        mgr.save(3, jax.device_get(state), metadata={"epoch": 3})
+        assert mgr.latest_step() == 3
+        restored, meta = mgr.restore(state)
+        assert meta["epoch"] == 3
+        a = jax.tree.leaves(state.params)
+        b = jax.tree.leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        mgr.close()
+
+
+class TestTrainerLoop:
+    def test_one_epoch_with_snapshot_and_resume(self, tiny_kitti, tmp_path):
+        cfg = make_tiny_cfg().replace(
+            optim=make_tiny_cfg().optim.__class__(max_epoch=1)
+        )
+        train_ds = RegistrationPairDataset("kitti", tiny_kitti, "train", point_limit=256)
+        val_ds = RegistrationPairDataset("kitti", tiny_kitti, "val", point_limit=256)
+        train_loader = PairLoader(train_ds, cap=cfg.pyramid.caps[0], batch_size=1, prefetch=0)
+        val_loader = PairLoader(val_ds, cap=cfg.pyramid.caps[0], batch_size=1, prefetch=0)
+        out_dir = str(tmp_path / "out")
+
+        trainer = Trainer(cfg, train_loader, val_loader, output_dir=out_dir, log_steps=1)
+        trainer.run()
+        assert trainer.epoch == 1
+        assert trainer.snapshots.latest_step() == 1
+        assert osp.exists(osp.join(out_dir, "metrics.jsonl"))
+        lines = open(osp.join(out_dir, "metrics.jsonl")).read().strip().splitlines()
+        assert any('"phase": "train"' in l for l in lines)
+        assert any('"phase": "val"' in l for l in lines)
+
+        # resume picks up epoch 1 -> run() is a no-op at max_epoch=1
+        trainer2 = Trainer(cfg, train_loader, val_loader, output_dir=out_dir, log_steps=1)
+        trainer2.run(resume=True)
+        assert trainer2.epoch == 1
