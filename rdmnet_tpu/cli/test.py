@@ -26,7 +26,6 @@ from rdmnet_tpu.graph.pyramid import build_pair_batch
 from rdmnet_tpu.data.datasets import RegistrationPairDataset
 from rdmnet_tpu.engine.meters import SummaryBoard, Timer
 from rdmnet_tpu.losses import Evaluator
-from rdmnet_tpu.graph.pyramid import PairBatch
 
 
 def main():
