@@ -73,12 +73,9 @@ def create_train_state(
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def make_train_step(cfg: Config) -> Callable:
-    """Returns jit'd ``step(state, batch, key) -> (state, metrics)``.
-
-    ``batch`` is a PairBatch pytree with a leading batch axis (B, ...).
-    Shard the leading axis over the 'dp' mesh axis for data parallelism.
-    """
+def make_batch_loss(cfg: Config) -> Callable:
+    """``batch_loss(params, apply_fn, batch, key) -> (loss, metrics)`` over a
+    batched PairBatch (mean of the per-pair losses, DDP semantics)."""
     loss_module = OverallLoss(cfg)
     evaluator = Evaluator(cfg)
 
@@ -102,6 +99,34 @@ def make_train_step(cfg: Config) -> Callable:
         )(batch, keys)
         mean_losses = jax.tree.map(jnp.mean, losses)
         return mean_losses["loss"], mean_losses
+
+    return batch_loss
+
+
+def make_value_and_grad(cfg: Config) -> Callable:
+    """jit'd ``(state, batch, key) -> (metrics, grads)`` without the
+    optimizer update — used by the dp-parity tests to compare raw gradients
+    between sharded and unsharded execution."""
+    batch_loss = make_batch_loss(cfg)
+
+    @jax.jit
+    def value_and_grad(state: TrainState, batch: PairBatch, key: jax.Array):
+        (_, metrics), grads = jax.value_and_grad(
+            lambda p: batch_loss(p, state.apply_fn, batch, key), has_aux=True
+        )(state.params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return metrics, grads
+
+    return value_and_grad
+
+
+def make_train_step(cfg: Config) -> Callable:
+    """Returns jit'd ``step(state, batch, key) -> (state, metrics)``.
+
+    ``batch`` is a PairBatch pytree with a leading batch axis (B, ...).
+    Shard the leading axis over the 'dp' mesh axis for data parallelism.
+    """
+    batch_loss = make_batch_loss(cfg)
 
     @jax.jit
     def step(state: TrainState, batch: PairBatch, key: jax.Array):

@@ -134,7 +134,7 @@ class AttentionOutput(nn.Module):
         y = nn.Dense(self.d_model * 2, dtype=self.dtype, name="expand")(x)
         y = nn.relu(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="squeeze")(y)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm")(x + y).astype(self.dtype)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x + y).astype(self.dtype)
 
 
 class TransformerLayer(nn.Module):
@@ -152,7 +152,7 @@ class TransformerLayer(nn.Module):
             input_states, memory_states, memory_states, kv_valid=memory_valid
         )
         hidden = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(hidden)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(hidden + input_states).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(hidden + input_states).astype(self.dtype)
         return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(x)
 
 
@@ -173,5 +173,5 @@ class RotaryTransformerLayer(nn.Module):
         )(input_states, memory_states, memory_states, pos_emb, pos_emb,
           kv_valid=memory_valid)
         hidden = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(hidden)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(hidden + input_states).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(hidden + input_states).astype(self.dtype)
         return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(x)

@@ -125,7 +125,7 @@ class RPETransformerLayer(nn.Module):
             input_states, memory_states, memory_states, embed_qk, kv_valid=memory_valid
         )
         hidden = nn.Dense(self.d_model, name="linear")(hidden)
-        x = nn.LayerNorm(name="norm")(hidden + input_states)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(hidden + input_states)
         return AttentionOutput(self.d_model, name="output")(x)
 
 

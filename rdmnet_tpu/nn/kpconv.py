@@ -201,7 +201,7 @@ class UnaryBlock(nn.Module):
         x = nn.Dense(self.out_channels, use_bias=self.use_bias, dtype=self.dtype,
                      name="mlp")(x)
         if self.layer_norm:
-            x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         else:
             x = MaskedGroupNorm(self.group_norm, self.out_channels,
                                 dtype=self.dtype, name="norm")(x, mask)

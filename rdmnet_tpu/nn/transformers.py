@@ -39,7 +39,7 @@ class LearnablePositionalEmbedding(nn.Module):
         )
         idx = jnp.minimum(emb_indices, self.num_embeddings - 1).astype(jnp.int32)
         emb = jnp.take(table, idx, axis=0)
-        return nn.LayerNorm(name="norm")(emb)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(emb)
 
 
 class LRPEMultiHeadAttention(nn.Module):
@@ -89,7 +89,7 @@ class LRPETransformerLayer(nn.Module):
             self.d_model, self.num_heads, self.num_embeddings, name="attention"
         )(input_states, memory_states, memory_states, emb_indices, kv_valid=memory_valid)
         hidden = nn.Dense(self.d_model, name="linear")(hidden)
-        x = nn.LayerNorm(name="norm")(hidden + input_states)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(hidden + input_states)
         return AttentionOutput(self.d_model, name="output")(x)
 
 

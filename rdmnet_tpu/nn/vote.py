@@ -27,7 +27,7 @@ class VoteLayer(nn.Module):
         x = feats
         for i, width in enumerate(self.cfg.mlps):
             x = nn.Dense(width, name=f"mlp_{i}")(x)
-            x = nn.LayerNorm(name=f"mlp_norm_{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"mlp_norm_{i}")(x)
             x = nn.relu(x)
 
         offsets = nn.Dense(3 + self.feat_dim, name="ctr_reg")(x)
@@ -38,5 +38,5 @@ class VoteLayer(nn.Module):
         ctr_offsets = jnp.clip(ctr_offsets, -limit, limit)
         vote_xyz = xyz + ctr_offsets
 
-        new_feats = nn.LayerNorm(name="out_norm")(feats + feat_offsets)
+        new_feats = nn.LayerNorm(epsilon=1e-5, name="out_norm")(feats + feat_offsets)
         return vote_xyz, new_feats

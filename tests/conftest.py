@@ -22,6 +22,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (full-model compiles, minutes each)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run = fast suite (<2 min). Slow tests run with --runslow or
+    an explicit -m filter."""
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow; run with --runslow or -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(7351)

@@ -13,6 +13,9 @@ from rdmnet_tpu.models import RDMNet
 from rdmnet_tpu.ops.geometry import apply_transform
 from tests.test_ops_core import random_transform
 
+# full-model compiles: minutes on CPU -> excluded from the default fast run
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def pair():

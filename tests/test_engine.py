@@ -16,6 +16,9 @@ from rdmnet_tpu.engine.trainer import Trainer
 from rdmnet_tpu.engine.train_step import create_train_state
 from tests.test_train import make_batch
 
+# full-model compiles: minutes on CPU -> excluded from the default fast run
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def tiny_kitti(tmp_path, rng):

@@ -1,0 +1,325 @@
+"""Numeric parity vs the torch reference (module by module).
+
+Each test instantiates the reference torch module with random weights,
+maps its state_dict onto our flax module, runs both on identical inputs,
+and asserts the outputs match. This is the evidence that the rebuilt
+modules compute the same function as the reference — without a 160-epoch
+training run (reference files cited per test).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+try:
+    from tests.ref_oracle import load_reference
+
+    load_reference()
+    _REF_OK = True
+    _REF_ERR = ""
+except Exception as e:  # pragma: no cover
+    _REF_OK = False
+    _REF_ERR = repr(e)
+
+pytestmark = pytest.mark.skipif(
+    not _REF_OK, reason=f"reference oracle unavailable: {_REF_ERR}"
+)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+def lin(sd, prefix):
+    """torch Linear params at `prefix` -> flax Dense dict."""
+    out = {"kernel": t2n(sd[prefix + ".weight"]).T}
+    if prefix + ".bias" in sd:
+        out["bias"] = t2n(sd[prefix + ".bias"])
+    return out
+
+
+def norm(sd, prefix):
+    """torch LayerNorm/GroupNorm params -> flax scale/bias dict."""
+    return {
+        "scale": t2n(sd[prefix + ".weight"]),
+        "bias": t2n(sd[prefix + ".bias"]),
+    }
+
+
+# --------------------------------------------------------------------------
+# KPConv (reference geotransformer/modules/kpconv/kpconv.py:10-133)
+# --------------------------------------------------------------------------
+
+
+class TestKPConv:
+    def test_forward_parity(self, rng):
+        from geotransformer.modules.kpconv import KPConv as TorchKPConv
+
+        from rdmnet_tpu.nn.kpconv import KPConv
+        from rdmnet_tpu.nn.kernel_points import make_kernel_points
+
+        cin, cout, k, radius, sigma = 8, 16, 15, 1.275, 0.6
+        n, m, h = 60, 40, 12
+        tm = TorchKPConv(cin, cout, k, radius, sigma, bias=True)
+        torch.nn.init.normal_(tm.weights, std=0.2)
+        torch.nn.init.normal_(tm.bias, std=0.1)
+        # pin the kernel disposition: the reference randomly rotates/jitters
+        # at init (kernel_points.py:427-455); use our canonical constant in
+        # both so geometry terms are identical
+        kp = np.asarray(make_kernel_points(radius, k))
+        with torch.no_grad():
+            tm.kernel_points.copy_(torch.from_numpy(kp))
+
+        s_feats = rng.randn(n, cin).astype(np.float32)
+        s_points = (rng.rand(n, 3) * 2.0).astype(np.float32)
+        q_points = (rng.rand(m, 3) * 2.0).astype(np.float32)
+        # sentinel-padded neighbor table (sentinel = n, the missing marker)
+        nbr = rng.randint(0, n, size=(m, h)).astype(np.int64)
+        nbr[rng.rand(m, h) < 0.3] = n
+
+        t_out = t2n(
+            tm(
+                torch.from_numpy(s_feats),
+                torch.from_numpy(q_points),
+                torch.from_numpy(s_points),
+                torch.from_numpy(nbr),
+            )
+        )
+
+        ours = KPConv(cin, cout, k, radius, sigma, use_bias=True)
+        params = {
+            "params": {"weights": t2n(tm.weights), "bias": t2n(tm.bias)}
+        }
+        j_out = np.asarray(
+            ours.apply(params, jnp.asarray(s_feats), jnp.asarray(q_points),
+                       jnp.asarray(s_points), jnp.asarray(nbr))
+        )
+        np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# GroupNorm / UnaryBlock (reference kpconv/modules.py:33-101)
+# --------------------------------------------------------------------------
+
+
+class TestUnaryBlock:
+    @pytest.mark.parametrize("layer_norm", [False, True])
+    def test_forward_parity(self, rng, layer_norm):
+        from geotransformer.modules.kpconv import UnaryBlock as TorchUnary
+
+        from rdmnet_tpu.nn.kpconv import UnaryBlock
+
+        cin, cout, g, n = 24, 32, 8, 50
+        tm = TorchUnary(cin, cout, g, has_relu=True, layer_norm=layer_norm)
+        x = rng.randn(n, cin).astype(np.float32)
+        t_out = t2n(tm(torch.from_numpy(x)))
+
+        sd = tm.state_dict()
+        params = {"params": {
+            "mlp": lin(sd, "mlp"),
+            "norm": norm(sd, "norm" if layer_norm else "norm.norm"),
+        }}
+        ours = UnaryBlock(cin, cout, g, has_relu=True, layer_norm=layer_norm)
+        j_out = np.asarray(
+            ours.apply(params, jnp.asarray(x), jnp.ones(n, bool))
+        )
+        np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# ThDRoFormer (reference rdmnet/thdroformer/thdroformer.py:266-347)
+# --------------------------------------------------------------------------
+
+
+def thdro_params_from_torch(sd, num_layers):
+    """Standalone ThDRoFormer state_dict -> our flax param tree."""
+    p = {
+        "embedding": lin(sd, "embedding.proj"),
+        "in_proj": lin(sd, "in_proj"),
+        "out_proj": lin(sd, "out_proj"),
+    }
+    for i in range(num_layers):
+        s = f"transformer.layers.{2 * i}"      # rotary self block
+        c = f"transformer.layers.{2 * i + 1}"  # vanilla cross block
+        p[f"self_{i}"] = {
+            "attention": {
+                "proj_q": lin(sd, f"{s}.attention.attention.proj_q"),
+                "proj_k": lin(sd, f"{s}.attention.attention.proj_k"),
+                "proj_v": lin(sd, f"{s}.attention.attention.proj_v"),
+            },
+            "linear": lin(sd, f"{s}.attention.linear"),
+            "norm": norm(sd, f"{s}.attention.norm"),
+            "output": {
+                "expand": lin(sd, f"{s}.output.expand"),
+                "squeeze": lin(sd, f"{s}.output.squeeze"),
+                "norm": norm(sd, f"{s}.output.norm"),
+            },
+        }
+        p[f"cross_{i}"] = {
+            "attention": {
+                "proj_q": lin(sd, f"{c}.attention.attention.proj_q"),
+                "proj_k": lin(sd, f"{c}.attention.attention.proj_k"),
+                "proj_v": lin(sd, f"{c}.attention.attention.proj_v"),
+            },
+            "linear": lin(sd, f"{c}.attention.linear"),
+            "norm": norm(sd, f"{c}.attention.norm"),
+            "output": {
+                "expand": lin(sd, f"{c}.output.expand"),
+                "squeeze": lin(sd, f"{c}.output.squeeze"),
+                "norm": norm(sd, f"{c}.output.norm"),
+            },
+        }
+    return {"params": p}
+
+
+class TestThDRoFormer:
+    def test_forward_parity(self, rng):
+        from rdmnet.thdroformer.thdroformer import ThDRoFormer as TorchThDRo
+
+        from rdmnet_tpu.nn.thdroformer import ThDRoFormer
+
+        din, dout, hidden, heads, layers = 48, 32, 32, 4, 2
+        n, m = 30, 26
+        tm = TorchThDRo(din, dout, hidden, heads, layers).eval()
+
+        ref_pts = (rng.rand(n, 3) * 10).astype(np.float32)
+        src_pts = (rng.rand(m, 3) * 10).astype(np.float32)
+        ref_f = rng.randn(n, din).astype(np.float32)
+        src_f = rng.randn(m, din).astype(np.float32)
+
+        with torch.no_grad():
+            t_ref, t_src = tm(
+                torch.from_numpy(ref_pts[None]), torch.from_numpy(src_pts[None]),
+                torch.from_numpy(ref_f[None]), torch.from_numpy(src_f[None]),
+            )
+
+        ours = ThDRoFormer(din, dout, hidden, heads, layers)
+        params = thdro_params_from_torch(tm.state_dict(), layers)
+        j_ref, j_src = ours.apply(
+            params, jnp.asarray(ref_pts), jnp.asarray(src_pts),
+            jnp.asarray(ref_f), jnp.asarray(src_f),
+        )
+        np.testing.assert_allclose(np.asarray(j_ref), t2n(t_ref)[0], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(j_src), t2n(t_src)[0], rtol=1e-4, atol=1e-4)
+
+    def test_topk_attention_parity(self, rng):
+        """dynamic top-k sparse attention (thdroformer.py:20-40)."""
+        from rdmnet.thdroformer.thdroformer import ThDRoFormer as TorchThDRo
+
+        from rdmnet_tpu.nn.thdroformer import ThDRoFormer
+
+        din, dout, hidden, heads, layers = 32, 32, 32, 4, 2
+        n, m = 24, 24
+        kfrac = (0.5, 0.75)
+        tm = TorchThDRo(din, dout, hidden, heads, layers, k=list(kfrac)).eval()
+
+        ref_pts = (rng.rand(n, 3) * 10).astype(np.float32)
+        src_pts = (rng.rand(m, 3) * 10).astype(np.float32)
+        ref_f = rng.randn(n, din).astype(np.float32)
+        src_f = rng.randn(m, din).astype(np.float32)
+
+        with torch.no_grad():
+            t_ref, t_src = tm(
+                torch.from_numpy(ref_pts[None]), torch.from_numpy(src_pts[None]),
+                torch.from_numpy(ref_f[None]), torch.from_numpy(src_f[None]),
+            )
+
+        ours = ThDRoFormer(din, dout, hidden, heads, layers, k=kfrac)
+        params = thdro_params_from_torch(tm.state_dict(), layers)
+        j_ref, j_src = ours.apply(
+            params, jnp.asarray(ref_pts), jnp.asarray(src_pts),
+            jnp.asarray(ref_f), jnp.asarray(src_f),
+        )
+        np.testing.assert_allclose(np.asarray(j_ref), t2n(t_ref)[0], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(j_src), t2n(t_src)[0], rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Sinkhorn OT (reference modules/sinkhorn/learnable_sinkhorn.py:5-70)
+# --------------------------------------------------------------------------
+
+
+class TestSinkhorn:
+    def test_forward_parity_masked(self, rng):
+        from geotransformer.modules.sinkhorn import (
+            LearnableLogOptimalTransport as TorchOT,
+        )
+
+        from rdmnet_tpu.nn.sinkhorn import LearnableLogOptimalTransport
+
+        b, m, n, iters = 3, 12, 10, 50
+        tm = TorchOT(iters)
+        with torch.no_grad():
+            tm.alpha.fill_(0.7)
+        scores = rng.randn(b, m, n).astype(np.float32)
+        row_masks = rng.rand(b, m) > 0.2
+        col_masks = rng.rand(b, n) > 0.2
+        # every batch element keeps at least 2 valid rows/cols
+        row_masks[:, :2] = True
+        col_masks[:, :2] = True
+
+        with torch.no_grad():
+            t_out = t2n(
+                tm(
+                    torch.from_numpy(scores),
+                    torch.from_numpy(row_masks),
+                    torch.from_numpy(col_masks),
+                )
+            )
+
+        ours = LearnableLogOptimalTransport(iters)
+        j_out = np.asarray(
+            ours.apply(
+                {"params": {"alpha": np.float32(0.7)}},
+                jnp.asarray(scores), jnp.asarray(row_masks), jnp.asarray(col_masks),
+            )
+        )
+        # compare on entries that are not -inf sentinels in either
+        valid = (t_out > -1e10) & (j_out > -1e10)
+        assert valid.sum() > 0.5 * valid.size
+        np.testing.assert_allclose(j_out[valid], t_out[valid], rtol=1e-4, atol=1e-4)
+        # the sentinel sets themselves agree
+        np.testing.assert_array_equal(t_out > -1e10, j_out > -1e10)
+
+
+# --------------------------------------------------------------------------
+# WeightedProcrustes (reference modules/registration/procrustes.py:6-91)
+# --------------------------------------------------------------------------
+
+
+class TestProcrustes:
+    def test_forward_parity(self, rng):
+        from geotransformer.modules.registration.procrustes import (
+            weighted_procrustes as torch_procrustes,
+        )
+
+        from rdmnet_tpu.ops.procrustes import weighted_procrustes
+
+        b, n = 4, 30
+        from tests.test_ops_core import random_transform
+
+        src = rng.randn(b, n, 3).astype(np.float32) * 5
+        ref = np.stack([
+            (src[i] @ random_transform(rng)[ :3, :3].T) + rng.randn(3).astype(np.float32)
+            for i in range(b)
+        ]).astype(np.float32) + rng.randn(b, n, 3).astype(np.float32) * 0.05
+        w = rng.rand(b, n).astype(np.float32)
+        w[:, -5:] = 0.0  # padded correspondences
+
+        t_tf = t2n(
+            torch_procrustes(
+                torch.from_numpy(src), torch.from_numpy(ref),
+                torch.from_numpy(w), weight_thresh=0.1, return_transform=True,
+            )
+        )
+        j_tf = np.asarray(
+            weighted_procrustes(
+                jnp.asarray(src), jnp.asarray(ref), jnp.asarray(w),
+                weight_thresh=0.1,
+            )
+        )
+        np.testing.assert_allclose(j_tf, t_tf, rtol=1e-3, atol=1e-4)

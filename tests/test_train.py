@@ -11,6 +11,9 @@ from rdmnet_tpu.graph.pyramid import build_pair_batch, pad_cloud
 from rdmnet_tpu.ops.geometry import apply_transform
 from tests.test_ops_core import random_transform
 
+# full-model compiles: minutes on CPU -> excluded from the default fast run
+pytestmark = pytest.mark.slow
+
 
 def make_batch(cfg, rng, bsz=1, n=400):
     def one(seed):
