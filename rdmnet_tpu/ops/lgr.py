@@ -45,69 +45,113 @@ def _extract_correspondences(
     corr_valid: jnp.ndarray,   # (P,) patch-correspondence validity
     cfg: FineMatchingConfig,
 ) -> Tuple[Correspondences, jnp.ndarray]:
-    """Row/column top-1 extraction with dustbin comparison
-    (reference compute_correspondence_matrix, :49-91, topk=1 path)."""
+    """Static top-k row/column extraction with dustbin comparison
+    (reference compute_correspondence_matrix, :49-91).
+
+    General ``cfg.topk``/``cfg.mutual`` semantics: the ref side selects the
+    top-k entries per row (dustbin column included in the ranking — it can
+    never pass its own keep test), the src side per column; ``mutual=False``
+    takes the union (duplicates removed), ``mutual=True`` the intersection.
+    The result is a static (P, 2*K*topk) — or (P, K*topk) when mutual —
+    correspondence set; absent entries carry zero weight. Ties at the k-th
+    score are broken by index as in the reference's topk.
+    """
     p, k1, _ = scores.shape
     k = k1 - 1
+    t = cfg.topk
+    assert 1 <= t <= k, f"fine_matching.topk={t} out of range [1, {k}]"
     mask_mat = ref_knn_masks[:, :, None] & src_knn_masks[:, None, :]  # (P, K, K)
 
-    body = scores[:, :k, :k]
     dust_col = scores[:, :k, k]   # (P, K) per-row dustbin score
     dust_row = scores[:, k, :k]   # (P, K) per-col dustbin score
 
+    # row side: top-t over each (K+1)-wide row (reference :57-64)
+    row_vals, row_idx = jax.lax.top_k(scores[:, :k, :], t)       # (P, K, t)
     if cfg.use_dustbin:
-        # row side: best col including dustbin must beat the dustbin entry
-        row_best = jnp.argmax(scores[:, :k, :], axis=2)          # (P, K) in [0, K]
-        row_val = jnp.take_along_axis(scores[:, :k, :], row_best[..., None], axis=2)[..., 0]
-        row_keep = (row_best < k) & (row_val > dust_col)
-        col_best = jnp.argmax(scores[:, :, :k], axis=1)          # (P, K) in [0, K]
-        col_val = jnp.take_along_axis(scores[:, :, :k], col_best[:, None, :], axis=1)[:, 0, :]
-        col_keep = (col_best < k) & (col_val > dust_row)
+        row_keep = (row_idx < k) & (row_vals > dust_col[..., None])
     else:
-        row_best = jnp.argmax(body, axis=2)
-        row_val = jnp.take_along_axis(body, row_best[..., None], axis=2)[..., 0]
-        row_keep = row_val > cfg.confidence_threshold
-        col_best = jnp.argmax(body, axis=1)
-        col_val = jnp.take_along_axis(body, col_best[:, None, :], axis=1)[:, 0, :]
-        col_keep = col_val > cfg.confidence_threshold
+        row_keep = (row_idx < k) & (row_vals > cfg.confidence_threshold)
+    row_j = jnp.minimum(row_idx, k - 1)                          # (P, K, t)
 
-    row_j = jnp.minimum(row_best, k - 1)
-    col_i = jnp.minimum(col_best, k - 1)
+    # col side: top-t over each (K+1)-wide column (reference :68-78)
+    col_vals, col_idx = jax.lax.top_k(
+        jnp.swapaxes(scores[:, :, :k], 1, 2), t                  # (P, K, K+1)
+    )                                                            # (P, K, t) per col j
+    if cfg.use_dustbin:
+        col_keep = (col_idx < k) & (col_vals > dust_row[..., None])
+    else:
+        col_keep = (col_idx < k) & (col_vals > cfg.confidence_threshold)
+    col_i = jnp.minimum(col_idx, k - 1)                          # (P, K, t)
 
-    rows = jnp.arange(k)
-    row_keep &= jnp.take_along_axis(mask_mat, row_j[..., None], axis=2)[..., 0]
-    col_keep &= jnp.take_along_axis(mask_mat, col_i[:, None, :], axis=1)[:, 0, :]
-    row_keep &= corr_valid[:, None]
-    col_keep &= corr_valid[:, None]
+    # mask/validity gates (reference :86-89)
+    def gather_mask(mm, i_idx, j_idx):
+        # mm (K, K) gathered at per-entry (i, j) index arrays of equal shape
+        return mm[i_idx, j_idx]
 
-    # column-side entries that the row side already selected are duplicates:
-    # (col_i[j], j) duplicated iff row side kept (col_i[j], row_j[col_i[j]] == j)
-    row_j_at = jnp.take_along_axis(row_j, col_i, axis=1)        # (P, K)
-    row_keep_at = jnp.take_along_axis(row_keep, col_i, axis=1)  # (P, K)
-    dup = row_keep_at & (row_j_at == rows[None, :])
-    col_keep &= ~dup
+    rows_i = jnp.broadcast_to(jnp.arange(k)[:, None], (k, t))
+    row_keep &= jax.vmap(gather_mask)(mask_mat, jnp.broadcast_to(rows_i, row_j.shape), row_j)
+    col_keep &= jax.vmap(gather_mask)(mask_mat, col_i, jnp.broadcast_to(rows_i, col_i.shape))
+    row_keep &= corr_valid[:, None, None]
+    col_keep &= corr_valid[:, None, None]
 
-    row_w = jnp.where(row_keep, row_val, 0.0)
-    col_w = jnp.where(col_keep, col_val, 0.0)
+    if cfg.mutual:
+        # intersection: a row-side entry (i, j) survives iff the col side of
+        # column j also selected row i — the col side then contributes only
+        # duplicates, so the set is the row side alone (reference :81-82 AND)
+        def row_in_col(ci, ck, rj, rk):
+            # ci/ck (K, t) col-side per column; rj/rk (K, t) row-side per row
+            ci_at = ci[rj]            # (K, t, t): col selections of column rj
+            ck_at = ck[rj]
+            member = jnp.any(
+                (ci_at == jnp.arange(k)[:, None, None]) & ck_at, axis=-1
+            )                          # (K, t)
+            return rk & member
 
-    # gather the point pairs
-    row_ref = ref_knn_points                                     # (P, K, 3) index i = row
-    row_src = jnp.take_along_axis(src_knn_points, row_j[..., None], axis=1)
-    col_ref = jnp.take_along_axis(ref_knn_points, col_i[..., None], axis=1)
-    col_src = src_knn_points
+        row_keep = jax.vmap(row_in_col)(col_i, col_keep, row_j, row_keep)
+        col_keep = jnp.zeros_like(col_keep)
+    else:
+        # union: drop col-side entries the row side already selected
+        # (reference materializes one boolean matrix; here: (i=col_i, j) is a
+        # duplicate iff the row side kept (i, j))
+        def col_dup(ci, rj, rk):
+            rj_at = rj[ci]            # (K, t, t): row selections of row ci
+            rk_at = rk[ci]
+            return jnp.any(
+                (rj_at == jnp.arange(k)[:, None, None]) & rk_at, axis=-1
+            )                          # (K, t)
 
-    ref_pts = jnp.concatenate([row_ref, col_ref], axis=1)        # (P, 2K, 3)
-    src_pts = jnp.concatenate([row_src, col_src], axis=1)
-    weights = jnp.concatenate([row_w, col_w], axis=1)            # (P, 2K)
+        col_keep &= ~jax.vmap(col_dup)(col_i, row_j, row_keep)
+
+    row_w = jnp.where(row_keep, row_vals, 0.0)
+    col_w = jnp.where(col_keep, col_vals, 0.0)
+
+    # gather the point pairs; row side: (i, row_j[i, u]), col side: (col_i, j)
+    row_ref = jnp.repeat(ref_knn_points, t, axis=1)              # (P, K*t, 3)
+    row_src = jnp.take_along_axis(
+        src_knn_points, row_j.reshape(p, k * t)[..., None], axis=1
+    )
+    if cfg.mutual:
+        ref_pts, src_pts = row_ref, row_src
+        weights = row_w.reshape(p, k * t)
+    else:
+        col_ref = jnp.take_along_axis(
+            ref_knn_points, col_i.reshape(p, k * t)[..., None], axis=1
+        )
+        col_src = jnp.repeat(src_knn_points, t, axis=1)
+        ref_pts = jnp.concatenate([row_ref, col_ref], axis=1)    # (P, 2Kt, 3)
+        src_pts = jnp.concatenate([row_src, col_src], axis=1)
+        weights = jnp.concatenate(
+            [row_w.reshape(p, k * t), col_w.reshape(p, k * t)], axis=1
+        )
 
     counts = jnp.sum((weights > 0).astype(jnp.int32), axis=1)    # (P,)
 
-    c = p * 2 * k
+    c = weights.shape[1]
     corr = Correspondences(
-        ref_points=ref_pts.reshape(c, 3),
-        src_points=src_pts.reshape(c, 3),
-        scores=weights.reshape(c),
-        patch_ids=jnp.repeat(jnp.arange(p, dtype=jnp.int32), 2 * k),
+        ref_points=ref_pts.reshape(p * c, 3),
+        src_points=src_pts.reshape(p * c, 3),
+        scores=weights.reshape(p * c),
+        patch_ids=jnp.repeat(jnp.arange(p, dtype=jnp.int32), c),
     )
     return corr, counts
 
@@ -142,35 +186,49 @@ def local_to_global_registration(
         corr = corr._replace(scores=corr.scores * per_entry)
 
     p, k = ref_knn_masks.shape
+    cpp = corr.scores.shape[0] // p   # static per-patch entry count
 
-    # --- local hypotheses: per-patch weighted Procrustes over its 2K entries
-    ref_b = corr.ref_points.reshape(p, 2 * k, 3)
-    src_b = corr.src_points.reshape(p, 2 * k, 3)
-    w_b = corr.scores.reshape(p, 2 * k)
+    # --- verification set: optionally the top `correspondence_limit` entries
+    # by score (reference :153-160); hypotheses still come from ALL entries
+    if cfg.correspondence_limit is not None and cfg.correspondence_limit < p * cpp:
+        ver_scores, sel = jax.lax.top_k(corr.scores, cfg.correspondence_limit)
+        ver = Correspondences(
+            ref_points=corr.ref_points[sel],
+            src_points=corr.src_points[sel],
+            scores=ver_scores,
+            patch_ids=corr.patch_ids[sel],
+        )
+    else:
+        ver = corr
+
+    # --- local hypotheses: per-patch weighted Procrustes over its entries
+    ref_b = corr.ref_points.reshape(p, cpp, 3)
+    src_b = corr.src_points.reshape(p, cpp, 3)
+    w_b = corr.scores.reshape(p, cpp)
     hyp_transforms = weighted_procrustes(src_b, ref_b, w_b)       # (P, 4, 4)
     hyp_ok = counts >= cfg.correspondence_threshold               # (P,)
 
     # fallback hypothesis from all correspondences (reference degenerate
     # branch, :187-192) — only eligible when no patch hypothesis is valid
-    global_tf = weighted_procrustes(corr.src_points, corr.ref_points, corr.scores)
+    global_tf = weighted_procrustes(ver.src_points, ver.ref_points, ver.scores)
     all_tfs = jnp.concatenate([hyp_transforms, global_tf[None]], axis=0)  # (P+1, 4, 4)
 
-    # --- hypothesis verification: inlier counts over the full corr set
-    aligned = apply_transform(corr.src_points[None], all_tfs)      # (P+1, C, 3)
-    res = jnp.linalg.norm(corr.ref_points[None] - aligned, axis=-1)
-    inlier = (res < cfg.acceptance_radius) & (corr.scores > 0)[None]
+    # --- hypothesis verification: inlier counts over the verification set
+    aligned = apply_transform(ver.src_points[None], all_tfs)       # (P+1, C, 3)
+    res = jnp.linalg.norm(ver.ref_points[None] - aligned, axis=-1)
+    inlier = (res < cfg.acceptance_radius) & (ver.scores > 0)[None]
     inlier_counts = jnp.sum(inlier.astype(jnp.int32), axis=1)     # (P+1,)
     any_ok = jnp.any(hyp_ok)
     gate = jnp.concatenate([hyp_ok, ~any_ok[None]])
     inlier_counts = jnp.where(gate, inlier_counts, -1)
     best = jnp.argmax(inlier_counts)
 
-    cur_scores = corr.scores * inlier[best].astype(corr.scores.dtype)
+    cur_scores = ver.scores * inlier[best].astype(ver.scores.dtype)
 
     # --- global refinement (reference :194-200)
-    transform = weighted_procrustes(corr.src_points, corr.ref_points, cur_scores)
+    transform = weighted_procrustes(ver.src_points, ver.ref_points, cur_scores)
     for _ in range(cfg.num_refinement_steps - 1):
-        cur_scores = _inlier_weights(corr, transform, cfg.acceptance_radius)
-        transform = weighted_procrustes(corr.src_points, corr.ref_points, cur_scores)
+        cur_scores = _inlier_weights(ver, transform, cfg.acceptance_radius)
+        transform = weighted_procrustes(ver.src_points, ver.ref_points, cur_scores)
 
     return corr, transform

@@ -287,6 +287,96 @@ class TestSinkhorn:
 
 
 # --------------------------------------------------------------------------
+# LocalGlobalRegistration (reference modules/geotransformer/
+# local_global_registration.py:11-243)
+# --------------------------------------------------------------------------
+
+
+def _lgr_problem(rng, p=6, k=16, noise=0.02):
+    """Patches of noisy true correspondences + a plausible log-score matrix."""
+    from tests.test_ops_core import random_transform
+    from rdmnet_tpu.ops.geometry import apply_transform
+    import jax.numpy as jnp
+
+    tf = random_transform(rng, max_angle=0.5, max_trans=2.0)
+    ref_knn = rng.randn(p, k, 3).astype(np.float32) * 5
+    src_knn = np.asarray(
+        apply_transform(jnp.asarray(ref_knn), jnp.asarray(np.linalg.inv(tf)))
+    ) + rng.randn(p, k, 3).astype(np.float32) * noise
+    masks = rng.rand(p, k) > 0.15
+    masks[:, :4] = True
+    # log scores: diagonal strong with per-entry jitter, off-diagonal weak
+    scores = (rng.randn(p, k + 1, k + 1) * 0.3 - 6.0).astype(np.float32)
+    for i in range(k):
+        scores[:, i, i] = -0.5 + 0.2 * rng.randn(p)
+    return tf, ref_knn, src_knn, masks, scores
+
+
+class TestLGRParity:
+    @pytest.mark.parametrize(
+        "topk,mutual,limit",
+        [(1, False, None), (3, False, None), (2, True, None), (1, False, 48)],
+    )
+    def test_forward_parity(self, rng, topk, mutual, limit):
+        from geotransformer.modules.geotransformer.local_global_registration import (
+            LocalGlobalRegistration as TorchLGR,
+        )
+
+        from rdmnet_tpu.config import FineMatchingConfig
+        from rdmnet_tpu.ops.lgr import local_to_global_registration
+
+        p, k = 6, 16
+        tf, ref_knn, src_knn, masks, scores = _lgr_problem(rng, p, k)
+
+        tm = TorchLGR(
+            k=topk, acceptance_radius=0.6, mutual=mutual,
+            confidence_threshold=0.0, use_dustbin=True,
+            correspondence_threshold=3, correspondence_limit=limit,
+            num_refinement_steps=5,
+        )
+        with torch.no_grad():
+            t_ref_corr, t_src_corr, t_scores, t_tf = tm(
+                torch.from_numpy(ref_knn), torch.from_numpy(src_knn),
+                torch.from_numpy(masks), torch.from_numpy(masks),
+                torch.from_numpy(scores), torch.ones(p),
+            )
+
+        cfg = FineMatchingConfig(
+            topk=topk, acceptance_radius=0.6, mutual=mutual,
+            confidence_threshold=0.0, use_dustbin=True,
+            correspondence_threshold=3, correspondence_limit=limit,
+            num_refinement_steps=5,
+        )
+        corr, j_tf = local_to_global_registration(
+            jnp.asarray(ref_knn), jnp.asarray(src_knn),
+            jnp.asarray(masks), jnp.asarray(masks),
+            jnp.asarray(scores), jnp.asarray(np.ones(p, bool)), cfg,
+        )
+
+        # the extracted dense correspondence multisets agree
+        def corr_set(r, s, w):
+            return {
+                (round(float(a[0]), 4), round(float(a[1]), 4),
+                 round(float(b[0]), 4), round(float(b[1]), 4),
+                 round(float(c), 4))
+                for a, b, c in zip(r, s, w)
+            }
+
+        t_set = corr_set(t2n(t_ref_corr), t2n(t_src_corr), t2n(t_scores))
+        keep = np.asarray(corr.scores) > 0
+        j_set = corr_set(
+            np.asarray(corr.ref_points)[keep],
+            np.asarray(corr.src_points)[keep],
+            np.asarray(corr.scores)[keep],
+        )
+        assert j_set == t_set
+
+        np.testing.assert_allclose(np.asarray(j_tf), t2n(t_tf), rtol=1e-3, atol=1e-4)
+        # and both recover the planted pose
+        np.testing.assert_allclose(np.asarray(j_tf), tf, atol=0.05)
+
+
+# --------------------------------------------------------------------------
 # WeightedProcrustes (reference modules/registration/procrustes.py:6-91)
 # --------------------------------------------------------------------------
 
