@@ -46,7 +46,9 @@ def build_model_and_params(
 
 def pad_pair_np(cfg: Config, ref_points: np.ndarray, src_points: np.ndarray):
     """Host-side padding only; the pyramid must be built INSIDE a jitted
-    function (eager building pays per-op dispatch latency)."""
+    function (eager building pays per-op dispatch latency). Level-0
+    truncation is reported via the pyramid's ``dropped`` telemetry — callers
+    can recover it as ``len(points) - count``."""
     cap = cfg.pyramid.caps[0]
     rp = np.full((cap, 3), 1e9, np.float32)
     n_ref = min(len(ref_points), cap)

@@ -18,6 +18,7 @@ import os
 import os.path as osp
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from rdmnet_tpu.config import make_cfg
@@ -37,7 +38,14 @@ def main():
     parser.add_argument("--test_epoch", type=int, default=None)
     parser.add_argument("--feature_dir", default=None)
     parser.add_argument("--subset", default="test")
+    # embarrassingly-parallel sharding over pairs: run one process per chip
+    # with distinct --shard_id; every shard writes into the shared
+    # feature_dir (replaces the reference's mp.spawn DDP test,
+    # test_batchoffline.py:255-262)
+    parser.add_argument("--num_shards", type=int, default=1)
+    parser.add_argument("--shard_id", type=int, default=0)
     args = parser.parse_args()
+    assert 0 <= args.shard_id < args.num_shards
 
     cfg = make_cfg()
     if args.dataset == "mulran":
@@ -59,16 +67,25 @@ def main():
         batch = build_pair_batch(rp, rc, sp, sc, transform, cfg.pyramid)
         out = model.apply(params, batch, training=False, with_gt=True)
         metrics = evaluator(out, batch, evaling=True)
+        # capacity-overflow telemetry (silent-degradation guard): nonzero
+        # means a pyramid level clipped real voxels — resize bucket caps
+        metrics["dropped"] = (
+            jnp.sum(batch.ref.dropped) + jnp.sum(batch.src.dropped)
+        ).astype(jnp.float32)
         return out, metrics
 
     board = SummaryBoard()
     timer = Timer()
     timer.tic()
-    for i in range(len(dataset)):
+    indices = list(range(args.shard_id, len(dataset), args.num_shards))
+    for n_done, i in enumerate(indices):
         item = dataset[i]
         rp, rc, sp, sc = pad_pair_np(cfg, item["ref_points"], item["src_points"])
+        trunc0 = (max(0, len(item["ref_points"]) - len(rp))
+                  + max(0, len(item["src_points"]) - len(sp)))
         timer.record_prepare()
         out, metrics = forward(params, rp, rc, sp, sc, item["transform"])
+        metrics["dropped"] = metrics["dropped"] + trunc0
         jax.block_until_ready(out["estimated_transform"])
         timer.record_process()
         board.update_from_dict(metrics)
@@ -77,7 +94,7 @@ def main():
         name = f"{item['seq_id']}_{item['src_frame']}_{item['ref_frame']}"
         np.savez_compressed(osp.join(feature_dir, name + ".npz"), **dumped)
         print(
-            f"[{i + 1}/{len(dataset)}] {name} | "
+            f"[{n_done + 1}/{len(indices)}] {name} | "
             + ", ".join(f"{k}: {float(v):.4f}" for k, v in metrics.items())
             + f" | prep {timer.prepare_time():.3f}s proc {timer.process_time():.3f}s"
         )

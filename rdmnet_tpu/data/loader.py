@@ -82,6 +82,7 @@ class PairLoader:
 
     def _make_batch(self, items):
         ref_pts, ref_cnt, src_pts, src_cnt, tfs = [], [], [], [], []
+        ref_drop, src_drop = [], []
         metas = []
         for it in items:
             rp, rc = pad_points_np(it["ref_points"], self.cap)
@@ -90,6 +91,9 @@ class PairLoader:
             ref_cnt.append(rc)
             src_pts.append(sp)
             src_cnt.append(sc)
+            # level-0 truncation telemetry (clouds larger than the bucket cap)
+            ref_drop.append(np.int32(max(0, len(it["ref_points"]) - self.cap)))
+            src_drop.append(np.int32(max(0, len(it["src_points"]) - self.cap)))
             tfs.append(it["transform"])
             metas.append(
                 {"seq_id": it["seq_id"], "ref_frame": it["ref_frame"],
@@ -100,6 +104,8 @@ class PairLoader:
             "ref_counts": np.stack(ref_cnt),
             "src_points": np.stack(src_pts),
             "src_counts": np.stack(src_cnt),
+            "ref_dropped": np.stack(ref_drop),
+            "src_dropped": np.stack(src_drop),
             "transform": np.stack(tfs),
             "metadata": metas,
         }

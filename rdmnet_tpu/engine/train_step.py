@@ -151,6 +151,11 @@ def make_eval_step(cfg: Config, with_transform: bool = True) -> Callable:
         out = apply_fn(params, batch, training=False, with_gt=True,
                        use_pallas_sinkhorn=False)
         metrics = evaluator(out, batch, evaling=with_transform)
+        # capacity-overflow telemetry: points/voxels silently dropped by any
+        # pyramid level (should be 0 with correctly sized bucket caps)
+        metrics["dropped"] = (
+            jnp.sum(batch.ref.dropped) + jnp.sum(batch.src.dropped)
+        ).astype(jnp.float32)
         return metrics, out["estimated_transform"]
 
     @jax.jit

@@ -33,8 +33,11 @@ from rdmnet_tpu.parallel import make_mesh, replicate_to_mesh, shard_batch
 
 def batch_to_device(np_batch, spec, mesh=None):
     """Host numpy batch -> batched PairBatch (pyramid built on device, vmapped)."""
+    bsz = len(np_batch["ref_points"])
     build = jax.vmap(
-        lambda rp, rc, sp, sc, tf: build_pair_batch(rp, rc, sp, sc, tf, spec)
+        lambda rp, rc, sp, sc, tf, rd, sd: build_pair_batch(
+            rp, rc, sp, sc, tf, spec, ref_dropped0=rd, src_dropped0=sd
+        )
     )
     args = (
         jnp.asarray(np_batch["ref_points"]),
@@ -42,6 +45,8 @@ def batch_to_device(np_batch, spec, mesh=None):
         jnp.asarray(np_batch["src_points"]),
         jnp.asarray(np_batch["src_counts"]),
         jnp.asarray(np_batch["transform"]),
+        jnp.asarray(np_batch.get("ref_dropped", np.zeros(bsz, np.int32))),
+        jnp.asarray(np_batch.get("src_dropped", np.zeros(bsz, np.int32))),
     )
     batch = jax.jit(build)(*args)
     if mesh is not None:

@@ -43,6 +43,9 @@ class CloudPyramid:
     neighbors: Tuple[jnp.ndarray, ...]    # level i: (cap_i, K_i) into level i
     subsampling: Tuple[jnp.ndarray, ...]  # i: (cap_{i+1}, K_i) into level i
     upsampling: Tuple[jnp.ndarray, ...]   # i: (cap_i, K_{i+1}) into level i+1
+    # capacity-overflow telemetry: (num_stages,) int32 points/voxels dropped
+    # per level (level 0 = host truncation, fill via build_pair_batch)
+    dropped: jnp.ndarray
 
     @property
     def num_stages(self) -> int:
@@ -68,6 +71,7 @@ def build_cloud_pyramid(
     points: jnp.ndarray,
     count: jnp.ndarray,
     spec: PyramidConfig,
+    dropped0: jnp.ndarray | int = 0,
 ) -> CloudPyramid:
     """Build the full pyramid for one padded cloud.
 
@@ -99,6 +103,7 @@ def build_cloud_pyramid(
 
     pts = [points]
     cnts = [count.astype(jnp.int32)]
+    drops = [jnp.asarray(dropped0, jnp.int32)]
 
     # Voxel subsampling: level i is subsampled at voxel_size * 2^i
     # (reference: utils/data.py:23-29 — the first doubling happens before
@@ -106,9 +111,12 @@ def build_cloud_pyramid(
     voxel = spec.voxel_size
     for i in range(1, spec.num_stages):
         voxel *= 2.0
-        p, c = grid_subsample(pts[-1], cnts[-1], voxel, spec.caps[i])
+        p, c, d = grid_subsample(
+            pts[-1], cnts[-1], voxel, spec.caps[i], return_dropped=True
+        )
         pts.append(p)
         cnts.append(c)
+        drops.append(d)
 
     # Radius searches with radius doubling (reference: utils/data.py:31-69).
     radius = spec.search_radius
@@ -151,6 +159,7 @@ def build_cloud_pyramid(
         neighbors=tuple(neighbors),
         subsampling=tuple(subsampling),
         upsampling=tuple(upsampling),
+        dropped=jnp.stack(drops),
     )
 
 
@@ -173,19 +182,24 @@ def build_pair_batch(
     transform: jnp.ndarray,
     spec: PyramidConfig,
     input_dim: int = 1,
+    ref_dropped0: jnp.ndarray | int = 0,
+    src_dropped0: jnp.ndarray | int = 0,
 ) -> PairBatch:
     """Build both pyramids of a registration pair (jittable).
 
     Input features are all-ones as in the reference KITTI datasets
     (reference: rdmnet/datasets/registration/kitti/dataset.py:188-189),
-    zeroed on pad rows.
+    zeroed on pad rows. ``*_dropped0`` record host-side level-0 truncation
+    (``pad_cloud``) so the overflow telemetry covers every capacity.
     """
     # build both clouds' pyramids in one vmapped program: every sort /
     # distance kernel processes the (ref, src) pair together, doubling
     # arithmetic intensity and halving fixed kernel costs
-    both = jax.vmap(lambda p, c: build_cloud_pyramid(p, c, spec))(
+    both = jax.vmap(lambda p, c, d: build_cloud_pyramid(p, c, spec, dropped0=d))(
         jnp.stack([ref_points, src_points]),
         jnp.stack([ref_count.astype(jnp.int32), src_count.astype(jnp.int32)]),
+        jnp.stack([jnp.asarray(ref_dropped0, jnp.int32),
+                   jnp.asarray(src_dropped0, jnp.int32)]),
     )
     ref = jax.tree.map(lambda x: x[0], both)
     src = jax.tree.map(lambda x: x[1], both)

@@ -32,7 +32,8 @@ def grid_subsample(
     num_valid: jnp.ndarray,
     voxel_size: float,
     cap: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_dropped: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Voxel-centroid subsample a padded point cloud.
 
     Args:
@@ -41,11 +42,15 @@ def grid_subsample(
       voxel_size: voxel edge length.
       cap: static output capacity (occupied voxels beyond ``cap`` are dropped;
         choose caps so this never clips in practice).
+      return_dropped: also return the number of occupied voxels that did NOT
+        fit in ``cap`` — the silent-degradation counter surfaced into step
+        metrics (0 when capacities are sized correctly).
 
     Returns:
       sub_points: (cap, 3) float32, padded rows set to a far-away sentinel
         coordinate so they can never be nearest neighbors.
       sub_count: () int32 number of valid output points (<= cap).
+      dropped: () int32 overflow voxel count (only if ``return_dropped``).
     """
     n = points.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -80,12 +85,12 @@ def grid_subsample(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(changed.astype(jnp.int32))]
     )
     # Valid points sort first, so their segment ids form [0, sub_count).
-    sub_count = jnp.where(
+    true_count = jnp.where(
         num_valid > 0,
         jnp.max(jnp.where(svalid, seg_ids, -1)) + 1,
         0,
     ).astype(jnp.int32)
-    sub_count = jnp.minimum(sub_count, cap)
+    sub_count = jnp.minimum(true_count, cap)
 
     w = svalid.astype(points.dtype)
     # Bucket `cap` collects invalid points and overflow segments (dropped).
@@ -96,4 +101,6 @@ def grid_subsample(
     out_valid = jnp.arange(cap, dtype=jnp.int32) < sub_count
     centroids = sums / jnp.maximum(counts, 1.0)[:, None]
     sub_points = jnp.where(out_valid[:, None], centroids, _PAD_COORD)
+    if return_dropped:
+        return sub_points, sub_count, jnp.maximum(true_count - cap, 0)
     return sub_points, sub_count

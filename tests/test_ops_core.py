@@ -99,6 +99,26 @@ class TestGridSubsample:
         sub, cnt = fn(pts, jnp.int32(0))
         assert int(cnt) == 0
 
+    def test_overflow_reported(self, rng):
+        """Deliberately undersized cap: the dropped counter must report the
+        clipped voxels instead of degrading silently."""
+        # 40 points, one per ~unique voxel (spread out)
+        pts = (np.arange(40)[:, None] * np.array([1.0, 0.0, 0.0])).astype(np.float32)
+        cap = 24
+        sub, cnt, dropped = grid_subsample(
+            jnp.asarray(pts), jnp.int32(40), 0.9, cap=cap, return_dropped=True
+        )
+        assert int(cnt) == cap
+        assert int(dropped) == 40 - cap
+
+    def test_no_overflow_zero_dropped(self, rng):
+        pts = (rng.rand(100, 3) * 10).astype(np.float32)
+        _, cnt, dropped = grid_subsample(
+            jnp.asarray(pts), jnp.int32(100), 1.0, cap=128, return_dropped=True
+        )
+        assert int(dropped) == 0
+        assert int(cnt) <= 100
+
 
 class TestRadiusKnn:
     def test_matches_oracle(self, rng):
