@@ -6,10 +6,15 @@ Reproduces the reference's reporting quirks exactly:
 * RRE/RTE are averaged over ACCEPTED pairs only (eval.py:229-237);
 * PMR tiers at >0 / >=0.1 / >=0.3 / >=0.5 coarse precision;
 * registration methods: lgr (dumped transform), svd (weighted Procrustes on
-  the dumped correspondences), ransac (numpy Procrustes-RANSAC).
+  the dumped correspondences), ransac (numpy Procrustes-RANSAC), teaser
+  (optional teaserpp-python, reference eval.py:196-219);
+* --figures writes trajectory (Umeyama-aligned ATE,
+  reference eval_pose_visualization_offline.py:83-224) and
+  recall-vs-threshold figures per sequence.
 
 Usage:
-    python -m rdmnet_tpu.cli.eval --feature_dir DIR [--method lgr|svd|ransac]
+    python -m rdmnet_tpu.cli.eval --feature_dir DIR \
+        [--method lgr|svd|ransac|ransac_featurematch|teaser] [--figures]
 """
 
 from __future__ import annotations
@@ -66,16 +71,51 @@ def ransac_np(src, ref, weights, num_iterations=5000, num_samples=4, threshold=0
     return best_tf
 
 
+def teaser_np(src, ref):
+    """TEASER++ registration (reference eval.py:196-219). Optional external
+    dependency — not bundled in this image; install teaserpp-python to use."""
+    try:
+        import teaserpp_python  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "method 'teaser' requires the optional teaserpp-python package "
+            "(https://github.com/MIT-SPARK/TEASER-plusplus); it is not "
+            "installed in this environment. Use --method lgr|svd|ransac."
+        ) from e
+    params = teaserpp_python.RobustRegistrationSolver.Params()
+    params.cbar2 = 1.0
+    params.noise_bound = 0.3
+    params.estimate_scaling = False
+    params.rotation_estimation_algorithm = (
+        teaserpp_python.RobustRegistrationSolver.ROTATION_ESTIMATION_ALGORITHM.GNC_TLS
+    )
+    params.rotation_gnc_factor = 1.4
+    params.rotation_max_iterations = 100
+    params.rotation_cost_threshold = 1e-12
+    solver = teaserpp_python.RobustRegistrationSolver(params)
+    solver.solve(src.T.astype(np.float64), ref.T.astype(np.float64))
+    sol = solver.getSolution()
+    tf = np.eye(4)
+    tf[:3, :3] = sol.rotation
+    tf[:3, 3] = sol.translation
+    return tf
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--feature_dir", required=True)
     parser.add_argument(
         "--method", default="lgr",
-        choices=["lgr", "svd", "ransac", "ransac_featurematch"],
+        choices=["lgr", "svd", "ransac", "ransac_featurematch", "teaser"],
     )
     parser.add_argument("--num_corr", type=int, default=None)
     parser.add_argument("--ransac_iterations", type=int, default=50000)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument(
+        "--figures", action="store_true",
+        help="write trajectory (Umeyama/ATE) and recall-vs-threshold figures",
+    )
+    parser.add_argument("--figure_dir", default=None)
     args = parser.parse_args()
 
     cfg = make_cfg()
@@ -84,6 +124,7 @@ def main():
     reg_meter = SummaryBoard()
     accepted_rre, accepted_rte = [], []
     fail_cases = []
+    all_pairs = []
 
     files = sorted(glob.glob(osp.join(args.feature_dir, "*.npz")))
     for i, fname in enumerate(files):
@@ -151,6 +192,8 @@ def main():
                 num_samples=cfg.ransac.num_points,
                 threshold=cfg.ransac.distance_threshold,
             )
+        elif args.method == "teaser":
+            est = teaser_np(src_corr, ref_corr)
         else:
             est = ransac_np(
                 src_corr, ref_corr, corr_scores,
@@ -160,6 +203,11 @@ def main():
             )
 
         rre, rte, rx, ry, rz = compute_registration_error(gt_transform, est)
+        all_pairs.append({
+            "seq_id": seq_id, "src_frame": src_frame, "ref_frame": ref_frame,
+            "estimated_transform": est, "gt_transform": gt_transform,
+            "rre": rre, "rte": rte,
+        })
         accepted = rre < cfg.eval.rre_threshold and rte < cfg.eval.rte_threshold
         reg_meter.update("recall", float(accepted))
         if accepted:
@@ -186,6 +234,28 @@ def main():
     )
     if fail_cases:
         print("failed pairs:", fail_cases)
+
+    if args.figures and all_pairs:
+        from rdmnet_tpu.utils.eval_figures import (
+            plot_recall_curves,
+            sequence_trajectory_report,
+        )
+
+        figure_dir = args.figure_dir or osp.join(args.feature_dir, "figures")
+        ate = sequence_trajectory_report(all_pairs, figure_dir, method=args.method)
+        for seq, errors in ate.items():
+            print(f"traj seq {seq}:",
+                  ", ".join(f"{k}: {v:.3f}" for k, v in errors.items()))
+        plot_recall_curves(
+            osp.join(figure_dir, f"recall_curves_{args.method}.png"),
+            {args.method: (
+                np.array([p["rre"] for p in all_pairs]),
+                np.array([p["rte"] for p in all_pairs]),
+            )},
+            rre_fixed=cfg.eval.rre_threshold,
+            rte_fixed=cfg.eval.rte_threshold,
+        )
+        print(f"figures written to {figure_dir}")
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ def main():
     parser.add_argument("--test_epoch", type=int, default=None)
     parser.add_argument("--asset_dir", default="/root/reference/assets/pc")
     parser.add_argument("--output_dir", default="output/infer")
+    parser.add_argument("--ransac_iterations", type=int, default=50000)
     args = parser.parse_args()
 
     cfg = make_cfg()
@@ -45,6 +46,17 @@ def main():
         out = forward(params, rp, rc, sp, sc, np.eye(4, dtype=np.float32))
         dumped = trim_outputs(out, np.eye(4, dtype=np.float32))
         est = dumped["estimated_transform"]
+
+        # RANSAC re-solve of the predicted correspondences, stored alongside
+        # the LGR pose (reference infer.py:75-82 does this with o3d RANSAC)
+        from rdmnet_tpu.cli.eval import ransac_np
+
+        cfg_r = cfg.ransac
+        dumped["ransac_transform"] = ransac_np(
+            dumped["src_corr_points"], dumped["ref_corr_points"],
+            dumped["corr_scores"], num_iterations=args.ransac_iterations,
+            num_samples=cfg_r.num_points, threshold=cfg_r.distance_threshold,
+        )
 
         name = f"{item['seq_id']}_{item['src_frame']}_{item['ref_frame']}"
         np.savez_compressed(osp.join(args.output_dir, name + ".npz"), **dumped)

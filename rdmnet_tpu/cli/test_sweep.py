@@ -1,16 +1,21 @@
 """Snapshot-sweep evaluation (reference: experiments/test_batchoffline.py:
 18-327 — the 'sweep checkpoints' workflow). The reference spawns 4 GPU
-processes per epoch; here each epoch's eval runs the jitted pipeline
-(recompilation-free across epochs) and the offline eval follows.
+processes per epoch (mp.spawn, :255-262); here ``--num_workers N`` launches N
+concurrent test processes per epoch, each taking a strided shard of the pair
+list and writing into the shared feature dir. On a pod slice, pin one worker
+per chip via ``--worker_env`` (e.g. TPU_VISIBLE_DEVICES={shard}); on a single
+chip keep num_workers=1 — the pairs are compute-bound, not dispatch-bound.
 
 Usage:
     python -m rdmnet_tpu.cli.test_sweep --dataset kitti --root /data/KITTI \
-        --snapshot_dir DIR --epochs 10 20 30 [--methods lgr ransac]
+        --snapshot_dir DIR --epochs 10 20 30 [--methods lgr ransac] \
+        [--num_workers 4 --worker_env TPU_VISIBLE_DEVICES={shard}]
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import subprocess
 import sys
 
@@ -23,21 +28,37 @@ def main():
     parser.add_argument("--epochs", type=int, nargs="+", required=True)
     parser.add_argument("--methods", nargs="+", default=["lgr", "ransac"])
     parser.add_argument("--feature_root", default="output/sweep")
+    parser.add_argument("--num_workers", type=int, default=1)
+    parser.add_argument(
+        "--worker_env", nargs="*", default=[],
+        help="extra KEY=VALUE env per worker; '{shard}' expands to its id",
+    )
     args = parser.parse_args()
 
     for epoch in args.epochs:
         feature_dir = f"{args.feature_root}/{args.dataset}_epoch{epoch}"
-        print(f"=== epoch {epoch}: dump features -> {feature_dir}")
-        subprocess.run(
-            [
-                sys.executable, "-m", "rdmnet_tpu.cli.test",
-                "--dataset", args.dataset, "--root", args.root,
-                "--snapshot_dir", args.snapshot_dir,
-                "--test_epoch", str(epoch),
-                "--feature_dir", feature_dir,
-            ],
-            check=True,
-        )
+        print(f"=== epoch {epoch}: dump features -> {feature_dir} "
+              f"({args.num_workers} worker(s))")
+        procs = []
+        for shard in range(args.num_workers):
+            env = dict(os.environ)
+            for kv in args.worker_env:
+                k, _, v = kv.partition("=")
+                env[k] = v.format(shard=shard)
+            procs.append(subprocess.Popen(
+                [
+                    sys.executable, "-m", "rdmnet_tpu.cli.test",
+                    "--dataset", args.dataset, "--root", args.root,
+                    "--snapshot_dir", args.snapshot_dir,
+                    "--test_epoch", str(epoch),
+                    "--feature_dir", feature_dir,
+                    "--num_shards", str(args.num_workers),
+                    "--shard_id", str(shard),
+                ],
+                env=env,
+            ))
+        for p in procs:
+            assert p.wait() == 0, f"test worker failed (rc={p.returncode})"
         for method in args.methods:
             print(f"=== epoch {epoch}: eval method={method}")
             subprocess.run(

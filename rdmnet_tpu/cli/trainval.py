@@ -2,7 +2,15 @@
 
 Usage:
     python -m rdmnet_tpu.cli.trainval --root /data/KITTI_odometry \
-        [--output_dir DIR] [--resume] [--max_epoch N]
+        [--output_dir DIR] [--resume] [--max_epoch N] [--multihost]
+
+Multi-host pods: launch the same command on every host of the slice with
+``--multihost`` (replaces the reference's torch.distributed.launch + NCCL
+bootstrap, geotransformer/engine/base_trainer.py:63-78). On Cloud TPU the
+coordinator/process info is discovered from the TPU environment; override
+with --coordinator_address/--num_processes/--process_id for manual setups.
+Each host then loads its own data shard (PairLoader num_hosts/host_id) and
+the global mesh spans all hosts' devices — DCN between hosts, ICI within.
 """
 
 from __future__ import annotations
@@ -25,7 +33,27 @@ def main():
     parser.add_argument("--max_epoch", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--log_steps", type=int, default=10)
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed for a multi-host pod slice",
+    )
+    parser.add_argument("--coordinator_address", default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
+
+    if args.multihost:
+        # must run BEFORE any device query on this host
+        from rdmnet_tpu.parallel import initialize_distributed
+
+        kwargs = {}
+        if args.coordinator_address is not None:
+            kwargs["coordinator_address"] = args.coordinator_address
+        if args.num_processes is not None:
+            kwargs["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            kwargs["process_id"] = args.process_id
+        initialize_distributed(**kwargs)
 
     cfg = make_cfg()
     if args.max_epoch is not None:

@@ -1,0 +1,104 @@
+"""Tests for the trajectory/recall figure utilities (numpy-only fast tests;
+reference semantics: eval_pose_visualization_offline.py:83-224)."""
+
+import numpy as np
+import pytest
+
+from rdmnet_tpu.utils.eval_figures import (
+    absolute_trajectory_error,
+    compose_trajectory,
+    plot_recall_curves,
+    plot_trajectories,
+    recall_vs_threshold,
+    sequence_trajectory_report,
+    umeyama_alignment,
+)
+from tests.test_ops_core import random_transform
+
+
+class TestUmeyama:
+    def test_recovers_rigid_transform(self, rng):
+        tf = random_transform(rng, max_angle=1.0, max_trans=5.0)
+        x = rng.randn(3, 50) * 10
+        y = tf[:3, :3] @ x + tf[:3, 3:4]
+        r, t, c = umeyama_alignment(x, y)
+        np.testing.assert_allclose(r, tf[:3, :3], atol=1e-6)
+        np.testing.assert_allclose(t, tf[:3, 3], atol=1e-6)
+        assert c == 1.0
+
+    def test_with_scale(self, rng):
+        x = rng.randn(3, 40)
+        y = 2.5 * x + 1.0
+        r, t, c = umeyama_alignment(x, y, with_scale=True)
+        np.testing.assert_allclose(c, 2.5, rtol=1e-6)
+
+
+class TestTrajectory:
+    def _random_rel_poses(self, rng, n=20):
+        return [random_transform(rng, max_angle=0.2, max_trans=3.0) for _ in range(n)]
+
+    def test_compose_chains(self, rng):
+        rels = self._random_rel_poses(rng, 5)
+        traj = compose_trajectory(rels)
+        assert traj.shape == (6, 4, 4)
+        np.testing.assert_allclose(traj[0], np.eye(4))
+        want = np.eye(4)
+        for r in rels:
+            want = want @ r
+        np.testing.assert_allclose(traj[-1], want, atol=1e-5)
+
+    def test_ate_zero_for_exact_trajectory(self, rng):
+        rels = self._random_rel_poses(rng)
+        gt = compose_trajectory(rels)
+        errors, aligned = absolute_trajectory_error(gt.copy(), gt)
+        assert errors["ate_rmse_cm"] < 1e-3
+        assert errors["rot_mean_deg"] < 1e-3
+
+    def test_ate_detects_drift(self, rng):
+        rels = self._random_rel_poses(rng)
+        gt = compose_trajectory(rels)
+        noisy_rels = [r.copy() for r in rels]
+        for r in noisy_rels:
+            r[:3, 3] += rng.randn(3) * 0.5
+        est = compose_trajectory(noisy_rels)
+        errors, _ = absolute_trajectory_error(est, gt)
+        assert errors["ate_rmse_cm"] > 1.0
+
+
+class TestRecallCurves:
+    def test_monotone_in_threshold(self, rng):
+        rre = np.abs(rng.randn(200)) * 2
+        rte = np.abs(rng.randn(200)) * 0.8
+        rre_grid = np.linspace(0.25, 5, 10)
+        rte_grid = np.linspace(0.1, 2, 10)
+        rr_rre, rr_rte = recall_vs_threshold(rre, rte, rre_grid, rte_grid, 5.0, 2.0)
+        assert np.all(np.diff(rr_rre) >= 0)
+        assert np.all(np.diff(rr_rte) >= 0)
+        assert rr_rre[-1] == np.mean((rre < 5.0) & (rte < 2.0))
+
+
+class TestFigureFiles:
+    def test_writes_figures(self, tmp_path, rng):
+        rels = [random_transform(rng, max_angle=0.1, max_trans=2.0) for _ in range(8)]
+        gt = compose_trajectory(rels)
+        plot_trajectories(str(tmp_path / "traj.png"), {"ours": gt}, gt)
+        assert (tmp_path / "traj.png").stat().st_size > 0
+        plot_recall_curves(
+            str(tmp_path / "recall.png"),
+            {"ours": (np.abs(rng.randn(50)), np.abs(rng.randn(50)))},
+        )
+        assert (tmp_path / "recall.png").stat().st_size > 0
+
+    def test_sequence_report(self, tmp_path, rng):
+        rels = [random_transform(rng, max_angle=0.1, max_trans=2.0) for _ in range(6)]
+        pairs = [
+            {
+                "seq_id": "8", "src_frame": i, "ref_frame": i + 1,
+                "estimated_transform": rels[i], "gt_transform": rels[i],
+            }
+            for i in range(6)
+        ]
+        report = sequence_trajectory_report(pairs, str(tmp_path), method="lgr")
+        assert "8" in report
+        assert report["8"]["ate_rmse_cm"] < 1e-3
+        assert (tmp_path / "traj_seq8_lgr.png").exists()
