@@ -4,7 +4,7 @@
 // (reference: geotransformer/extensions/cpu/{grid_subsampling,radius_neighbors})
 // re-designed without libtorch or nanoflann:
 //   * voxel-centroid grid subsampling over an open-addressing voxel hash,
-//     deterministic (z, y, x)-lexicographic output order (matches the
+//     deterministic (x, y, z)-lexicographic output order (matches the
 //     on-device op in rdmnet_tpu/ops/grid_subsample.py);
 //   * radius-bounded kNN via a uniform spatial hash grid with
 //     sorted-by-distance neighbor lists and sentinel padding (matches
@@ -51,7 +51,7 @@ struct VoxelAccum {
 extern "C" {
 
 // Voxel-centroid subsample. Returns the number of valid output points
-// (<= cap). Output order: lexicographic by (z, y, x) voxel coordinate.
+// (<= cap). Output order: lexicographic by (x, y, z) voxel coordinate.
 int32_t rdm_grid_subsample(const float* points, int32_t n, float voxel_size,
                            float* out_points, int32_t cap) {
     if (n <= 0 || cap <= 0) return 0;
@@ -88,9 +88,9 @@ int32_t rdm_grid_subsample(const float* points, int32_t n, float voxel_size,
     std::vector<std::pair<VoxelKey, VoxelAccum>> sorted(cells.begin(), cells.end());
     std::sort(sorted.begin(), sorted.end(),
               [](const auto& a, const auto& b) {
-                  if (a.first.z != b.first.z) return a.first.z < b.first.z;
+                  if (a.first.x != b.first.x) return a.first.x < b.first.x;
                   if (a.first.y != b.first.y) return a.first.y < b.first.y;
-                  return a.first.x < b.first.x;
+                  return a.first.z < b.first.z;
               });
 
     const int32_t n_out = std::min<int32_t>(static_cast<int32_t>(sorted.size()), cap);

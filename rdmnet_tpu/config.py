@@ -48,10 +48,24 @@ class PyramidConfig:
     # (utils/data.py:59-66 vs experiments/backbone.py:139-147). Set to 0 to
     # build all tables.
     build_upsampling_from_level: int = 1
+    # Banded radius search (ops/radius_search.radius_knn_banded): static
+    # band capacity per SUPPORT level — how many x-sorted support rows one
+    # query chunk sees. None = full unbanded search at that level. Defaults
+    # sized from measured KITTI chunk-band occupancies (max ~5.4k at level 0
+    # for 30k-cap scans) with ~30-40% headroom; undersized bands surface in
+    # the per-level `dropped` telemetry instead of failing silently.
+    band_caps: Tuple[Optional[int], ...] = (7168, 3584, 2304, None, None)
+    # Query rows per banded chunk (smaller = tighter bands, more dispatch).
+    band_chunk: int = 512
 
     def __post_init__(self):
         assert len(self.caps) == self.num_stages
         assert len(self.neighbor_limits) == self.num_stages
+        if len(self.band_caps) != self.num_stages:
+            # fit the default band tuple to a non-default stage count
+            # (oversized bands harmlessly fall back to the full search)
+            fitted = (self.band_caps + (None,) * self.num_stages)[: self.num_stages]
+            object.__setattr__(self, "band_caps", fitted)
 
     def scaled(self, factor: float, multiple: int = 128) -> "PyramidConfig":
         """A bucket variant with capacities scaled by ``factor`` and rounded
@@ -63,7 +77,12 @@ class PyramidConfig:
             max(multiple, -(-int(c * factor) // multiple) * multiple)
             for c in self.caps
         )
-        return _dc.replace(self, caps=caps)
+        bands = tuple(
+            None if b is None
+            else max(multiple, -(-int(b * factor) // multiple) * multiple)
+            for b in self.band_caps
+        )
+        return _dc.replace(self, caps=caps, band_caps=bands)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,7 +27,7 @@ from flax import struct
 
 from rdmnet_tpu.config import PyramidConfig
 from rdmnet_tpu.ops.grid_subsample import grid_subsample
-from rdmnet_tpu.ops.radius_search import radius_knn
+from rdmnet_tpu.ops.radius_search import radius_knn, radius_knn_banded
 
 
 @struct.dataclass
@@ -44,7 +44,8 @@ class CloudPyramid:
     subsampling: Tuple[jnp.ndarray, ...]  # i: (cap_{i+1}, K_i) into level i
     upsampling: Tuple[jnp.ndarray, ...]   # i: (cap_i, K_{i+1}) into level i+1
     # capacity-overflow telemetry: (num_stages,) int32 points/voxels dropped
-    # per level (level 0 = host truncation, fill via build_pair_batch)
+    # per level (level 0 = host truncation, fill via build_pair_batch) plus
+    # banded-search window overflow at that support level; 0 = exact caps
     dropped: jnp.ndarray
 
     @property
@@ -85,18 +86,23 @@ def build_cloud_pyramid(
     assert points.shape[0] == spec.caps[0], (
         f"level-0 capacity mismatch: {points.shape[0]} vs {spec.caps[0]}"
     )
-    # Spatially sort level 0 by voxel key (levels 1+ come out of the
-    # subsample already sorted): neighbor indices then point at nearby rows,
-    # improving HBM gather locality in the KPConv stages. Point order is an
+    # Spatially sort level 0 by (x, y, z) voxel key (levels 1+ come out of
+    # the subsample already x-major sorted): neighbor indices then point at
+    # nearby rows (HBM gather locality in the KPConv stages), and the
+    # x-monotone order is what lets radius_knn_banded prune each query
+    # chunk's candidates to a contiguous support band. Point order is an
     # internal detail — every consumer goes through the index tables.
     n0 = points.shape[0]
-    coords = jnp.floor(points / (2.0 * spec.voxel_size)).astype(jnp.int32)
-    key = (
-        (jnp.clip(coords[:, 2], 0, 1023) << 22)
-        | (jnp.clip(coords[:, 1], 0, 2047) << 11)
-        | jnp.clip(coords[:, 0], 0, 2047)
-    )
+    cell0 = 2.0 * spec.voxel_size
     valid0 = jnp.arange(n0, dtype=jnp.int32) < count
+    masked0 = jnp.where(valid0[:, None], points, jnp.inf)
+    anchor = jnp.floor(jnp.min(masked0, axis=0) / cell0) * cell0
+    coords = jnp.floor((points - anchor) / cell0).astype(jnp.int32)
+    key = (
+        (jnp.clip(coords[:, 0], 0, 2047) << 20)
+        | (jnp.clip(coords[:, 1], 0, 1023) << 10)
+        | jnp.clip(coords[:, 2], 0, 1023)
+    )
     key = jnp.where(valid0, key, jnp.iinfo(jnp.int32).max)
     _, order = jax.lax.sort((key, jnp.arange(n0, dtype=jnp.int32)), num_keys=1)
     points = jnp.take(points, order, axis=0)
@@ -119,28 +125,52 @@ def build_cloud_pyramid(
         drops.append(d)
 
     # Radius searches with radius doubling (reference: utils/data.py:31-69).
+    # Fine levels use the banded search over the x-sorted supports; band
+    # overflow (undersized static band) is folded into the per-level
+    # `dropped` telemetry. sort_cell(i) is the granularity level i's point
+    # order is monotone in: 2*voxel for the level-0 sort above, the level's
+    # own grid voxel for subsampled levels.
+    def sort_cell(i: int) -> float:
+        return spec.voxel_size * (2.0 ** max(i, 1))
+
+    def search(q_lvl: int, s_lvl: int, r: float, k: int):
+        band = spec.band_caps[s_lvl]
+        if band is None or band >= spec.caps[s_lvl]:
+            return (
+                radius_knn(pts[q_lvl], pts[s_lvl], cnts[s_lvl], r, k,
+                           approx_recall=spec.approx_recall),
+                jnp.int32(0),
+            )
+        # chunk scales with the query level so a chunk never spans more
+        # than ~1/16 of the scan (a fixed chunk of a coarse level would
+        # cover most of the x-extent and blow the support band)
+        chunk = min(spec.band_chunk,
+                    max(128, ((spec.caps[q_lvl] // 16 + 63) // 64) * 64))
+        return radius_knn_banded(
+            pts[q_lvl], pts[s_lvl], cnts[s_lvl], r, k,
+            cell=sort_cell(s_lvl), band_cap=band, q_count=cnts[q_lvl],
+            chunk_size=chunk, approx_recall=spec.approx_recall,
+            return_overflow=True,
+        )
+
     radius = spec.search_radius
     neighbors = []
     subsampling = []
     upsampling = []
-    ar = spec.approx_recall
+    band_over = [jnp.int32(0) for _ in range(spec.num_stages)]
     for i in range(spec.num_stages):
-        neighbors.append(
-            radius_knn(pts[i], pts[i], cnts[i], radius, spec.neighbor_limits[i],
-                       approx_recall=ar)
-        )
+        nbr, ov = search(i, i, radius, spec.neighbor_limits[i])
+        neighbors.append(nbr)
+        band_over[i] = band_over[i] + ov
         if i < spec.num_stages - 1:
-            subsampling.append(
-                radius_knn(pts[i + 1], pts[i], cnts[i], radius,
-                           spec.neighbor_limits[i], approx_recall=ar)
-            )
+            sub, ov = search(i + 1, i, radius, spec.neighbor_limits[i])
+            subsampling.append(sub)
+            band_over[i] = band_over[i] + ov
             if i >= spec.build_upsampling_from_level:
-                upsampling.append(
-                    radius_knn(
-                        pts[i], pts[i + 1], cnts[i + 1], radius * 2.0,
-                        spec.neighbor_limits[i + 1], approx_recall=ar,
-                    )
-                )
+                up, ov = search(i, i + 1, radius * 2.0,
+                                spec.neighbor_limits[i + 1])
+                upsampling.append(up)
+                band_over[i + 1] = band_over[i + 1] + ov
             else:
                 # unconsumed table (see config note): all-sentinel placeholder
                 # keeps the pytree structure stable at zero compute
@@ -159,7 +189,7 @@ def build_cloud_pyramid(
         neighbors=tuple(neighbors),
         subsampling=tuple(subsampling),
         upsampling=tuple(upsampling),
-        dropped=jnp.stack(drops),
+        dropped=jnp.stack(drops) + jnp.stack(band_over),
     )
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from rdmnet_tpu.config import Config
@@ -21,7 +22,13 @@ from rdmnet_tpu.ops.geometry import (
 
 def relative_rotation_error(gt_rotations: jnp.ndarray, rotations: jnp.ndarray) -> jnp.ndarray:
     """RRE in degrees via the trace formula (reference metrics.py:47-65)."""
-    mat = jnp.matmul(jnp.swapaxes(rotations, -1, -2), gt_rotations)
+    # HIGHEST precision: the bf16 TPU default would bias the measured RRE
+    # by ~0.1 deg — comparable to the 0.18 deg accuracy target itself
+    mat = jnp.matmul(
+        jnp.swapaxes(rotations, -1, -2), gt_rotations,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     trace = mat[..., 0, 0] + mat[..., 1, 1] + mat[..., 2, 2]
     x = jnp.clip(0.5 * (trace - 1.0), -1.0, 1.0)
     return 180.0 * jnp.arccos(x) / jnp.pi

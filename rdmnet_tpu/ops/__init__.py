@@ -11,7 +11,7 @@ from rdmnet_tpu.ops.geometry import (  # noqa: F401
     vector_angle,
 )
 from rdmnet_tpu.ops.grid_subsample import grid_subsample  # noqa: F401
-from rdmnet_tpu.ops.radius_search import radius_knn  # noqa: F401
+from rdmnet_tpu.ops.radius_search import radius_knn, radius_knn_banded  # noqa: F401
 from rdmnet_tpu.ops.partition import (  # noqa: F401
     knn_partition,
     point_to_node_partition,

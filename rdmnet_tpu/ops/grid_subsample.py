@@ -9,10 +9,11 @@ centroid of the points it contains. The voxel grid is anchored at
 Design differences (deliberate, TPU-first):
 * static output capacity ``cap`` with a valid-count instead of a dynamic
   result (the C++ returns exactly one point per occupied voxel);
-* output voxels are ordered lexicographically by (z, y, x) voxel coordinate —
+* output voxels are ordered lexicographically by (x, y, z) voxel coordinate —
   deterministic, whereas the C++ emits std::unordered_map iteration order.
-  Nothing downstream depends on point order (all consumers re-derive
-  neighbor structure), so this is behavior-preserving;
+  Nothing downstream depends on the specific point order (all consumers
+  re-derive neighbor structure), so this is behavior-preserving; the
+  x-primary order additionally enables the banded radius search;
 * implemented as a lexicographic multi-key sort + segment-mean, which XLA
   lowers to an efficient on-device sort — no hash tables, no host round trip.
 """
@@ -63,15 +64,18 @@ def grid_subsample(
 
     coords = jnp.floor((points - min_corner) / voxel_size).astype(jnp.int32)
 
-    # Pack (z, y, x) into ONE int32 sort key: 10/11/11 bits (z gets 10) —
-    # spans 1024/2048/2048 voxels per axis, far beyond any LiDAR scene at
+    # Pack (x, y, z) into ONE int32 sort key: 11/10/10 bits (x gets 11) —
+    # spans 2048/1024/1024 voxels per axis, far beyond any LiDAR scene at
     # these voxel sizes. A single-key 2-operand sort is several times
     # cheaper on TPU than the 7-operand lexicographic sort it replaces;
-    # key order == (z, y, x) lexicographic order, so results are identical.
+    # key order == (x, y, z) lexicographic order. x is the PRIMARY axis so
+    # the output is monotone in the x voxel coordinate — the invariant the
+    # banded radius search (ops/radius_search.radius_knn_banded) relies on
+    # to restrict each query chunk to a contiguous support band.
     cx = jnp.clip(coords[:, 0], 0, 2047)
-    cy = jnp.clip(coords[:, 1], 0, 2047)
+    cy = jnp.clip(coords[:, 1], 0, 1023)
     cz = jnp.clip(coords[:, 2], 0, 1023)
-    key = (cz << 22) | (cy << 11) | cx
+    key = (cx << 20) | (cy << 10) | cz
     # Push invalid points to a sort-last key so they never share a voxel.
     key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
 

@@ -51,15 +51,20 @@ def weighted_procrustes(
         precision=jax.lax.Precision.HIGHEST,
     )
     u, _, vt = jnp.linalg.svd(h)
-    # R = V diag(1,1,sign) U^T with sign = det(V U^T)
+    # R = V diag(1,1,sign) U^T with sign = det(V U^T). All 3x3 composition
+    # matmuls run at HIGHEST precision: the TPU bf16 default would put
+    # ~1e-3 relative error straight into the rotation (~0.1 deg — the same
+    # order as the RRE accuracy target).
+    exact = dict(preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     v = jnp.swapaxes(vt, -1, -2)
     ut = jnp.swapaxes(u, -1, -2)
-    sign = jnp.sign(jnp.linalg.det(jnp.matmul(v, ut)))
+    sign = jnp.sign(jnp.linalg.det(jnp.matmul(v, ut, **exact)))
     d = jnp.ones(h.shape[:-2] + (3,), dtype=h.dtype)
     d = d.at[..., 2].set(sign)
-    r = jnp.matmul(v * d[..., None, :], ut)
+    r = jnp.matmul(v * d[..., None, :], ut, **exact)
 
     t = jnp.squeeze(ref_centroid, -2) - jnp.squeeze(
-        jnp.matmul(r, jnp.swapaxes(src_centroid, -1, -2)), -1
+        jnp.matmul(r, jnp.swapaxes(src_centroid, -1, -2), **exact), -1
     )
     return get_transform_from_rotation_translation(r, t)

@@ -110,3 +110,126 @@ def radius_knn(
     tiles = padded.reshape(num_chunks, chunk_size, 3)
     out = jax.lax.map(fn, tiles)
     return out.reshape(num_chunks * chunk_size, k)[:q]
+
+
+# Clamp magnitude for x coordinates before cell quantization: keeps the
+# int32 cell values finite for the 1e9 pad sentinel while preserving order
+# (pads stay strictly beyond any real LiDAR coordinate).
+_X_CLAMP = 5.0e5
+
+
+def radius_knn_banded(
+    q_points: jnp.ndarray,
+    s_points: jnp.ndarray,
+    s_count: jnp.ndarray,
+    radius: float,
+    k: int,
+    cell: float,
+    band_cap: int,
+    q_count: jnp.ndarray | None = None,
+    chunk_size: int = 512,
+    approx_recall: float | None = None,
+    return_overflow: bool = False,
+):
+    """Radius-bounded kNN against an x-sorted support, banded per query chunk.
+
+    Exploits the framework-wide spatial ordering invariant: every level's
+    points come out of ``grid_subsample`` / the level-0 sort ordered by
+    (x, y, z) voxel coordinate at granularity ``cell``, so the support array
+    is monotone in ``floor(x / cell)``. All true neighbors of a chunk of
+    queries spanning x in [lo, hi] lie in the contiguous support row range
+    whose x-cells fall in [lo - r, hi + r] — found with two searchsorted
+    calls — so each (chunk, support) distance tile shrinks from (C, S) to
+    (C, band_cap), a 4-6x work reduction at the fine pyramid levels on KITTI
+    scans. This is the TPU-shaped analogue of the reference kd-tree's
+    spatial pruning (nanoflann radius query,
+    geotransformer/extensions/cpu/radius_neighbors/radius_neighbors_cpu.cpp):
+    candidate pruning comes from a static contiguous window over a spatially
+    sorted array instead of dynamic tree descent.
+
+    Falls back to the full search when ``band_cap >= S``. If a chunk's true
+    band exceeds ``band_cap`` (undersized static band), the window is
+    centered on the band and the excess is reported via ``return_overflow``
+    (same honest-degradation contract as the capacity `dropped` counters).
+
+    Args:
+      q_points: (Q, 3) padded queries (any order; tighter bands when
+        q is itself x-sorted, which holds for all pyramid levels).
+      s_points: (S, 3) padded support, x-cell sorted, pads (x=+big) last.
+      s_count: () int32 valid support points.
+      radius: search radius.
+      k: static neighbor count.
+      cell: the sort granularity of ``s_points`` (the level's voxel size).
+      band_cap: static support rows visible to one query chunk.
+      q_count: () int32 valid query count (pads excluded from band bounds);
+        None treats every query row as valid.
+      chunk_size: query rows per tile.
+      approx_recall: see ``radius_knn``.
+      return_overflow: also return () int32 — total support rows that fell
+        outside an overflowing band, summed over chunks (0 = exact-band).
+
+    Returns:
+      (Q, k) int32 indices into s_points; sentinel ``S`` where missing.
+      With ``return_overflow``: ((Q, k) indices, () int32 overflow).
+    """
+    q = q_points.shape[0]
+    s = s_points.shape[0]
+    if band_cap >= s:
+        out = radius_knn(
+            q_points, s_points, s_count, radius, k,
+            chunk_size=max(chunk_size, 1024), approx_recall=approx_recall,
+        )
+        return (out, jnp.int32(0)) if return_overflow else out
+    assert k <= band_cap, f"k={k} exceeds band_cap={band_cap}"
+    if approx_recall is not None and band_cap < 4 * k:
+        approx_recall = None
+
+    sx = jnp.clip(s_points[:, 0], -_X_CLAMP, _X_CLAMP)
+    s_cells = jnp.floor(sx / cell).astype(jnp.int32)
+    qx = jnp.clip(q_points[:, 0], -_X_CLAMP, _X_CLAMP)
+    q_cells = jnp.floor(qx / cell).astype(jnp.int32)
+    if q_count is None:
+        q_valid = jnp.ones((q,), bool)
+    else:
+        q_valid = jnp.arange(q, dtype=jnp.int32) < q_count
+
+    num_chunks = -(-q // chunk_size)
+    pad = num_chunks * chunk_size - q
+    qc = jnp.pad(q_cells, (0, pad)).reshape(num_chunks, chunk_size)
+    qv = jnp.pad(q_valid, (0, pad)).reshape(num_chunks, chunk_size)
+    q_tiles = jnp.pad(q_points, ((0, pad), (0, 0))).reshape(
+        num_chunks, chunk_size, 3
+    )
+
+    # +1 cell absorbs fp rounding at voxel boundaries (cells here are
+    # recomputed from float x; the sort used anchored cells).
+    margin = int(-(-radius // cell)) + 1
+    big = jnp.iinfo(jnp.int32).max
+    lo = jnp.min(jnp.where(qv, qc, big), axis=1) - margin
+    hi = jnp.max(jnp.where(qv, qc, -big), axis=1) + margin
+    start = jnp.searchsorted(s_cells, lo, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(s_cells, hi, side="right").astype(jnp.int32)
+    # Center the window on overflowing bands (each query's true neighbors
+    # span only its own +-r, so a centered window keeps mid-chunk queries
+    # exact and clips only the band fringes).
+    win = jnp.where(end - start <= band_cap, start, (start + end - band_cap) // 2)
+    win = jnp.clip(win, 0, s - band_cap)
+    overflow = jnp.sum(jnp.maximum(end - start - band_cap, 0))
+
+    s_sq_full = jnp.sum(s_points * s_points, axis=-1)
+    radius_sq = jnp.asarray(radius * radius, jnp.float32)
+
+    def one(args):
+        q_tile, w = args
+        band = jax.lax.dynamic_slice(s_points, (w, 0), (band_cap, 3))
+        band_sq = jax.lax.dynamic_slice(s_sq_full, (w,), (band_cap,))
+        band_invalid = (w + jnp.arange(band_cap, dtype=jnp.int32)) >= s_count
+        idx = _chunk_knn(
+            q_tile, band, band_sq, band_invalid, radius_sq, k, approx_recall
+        )
+        # band-local -> global rows; band sentinel (band_cap) -> global S
+        return jnp.where(idx == band_cap, s, w + idx)
+
+    out = jax.lax.map(one, (q_tiles, win))
+    out = out.reshape(num_chunks * chunk_size, k)[:q]
+    return (out, overflow.astype(jnp.int32)) if return_overflow else out

@@ -123,6 +123,29 @@ def _install_stubs() -> None:
         ipdb = types.ModuleType("ipdb")
         ipdb.set_trace = lambda: None
         sys.modules["ipdb"] = ipdb
+    if "utils" not in sys.modules:
+        # rdmnet/utils/utils_common.py:15 imports `utils.logger`, a module
+        # that exists nowhere in the reference tree (dead dependency from the
+        # authors' environment); stub it so model-level imports resolve
+        u = types.ModuleType("utils")
+        ul = types.ModuleType("utils.logger")
+
+        class _Logger:
+            def __init__(self, *a, **k):
+                pass
+
+            def __getattr__(self, name):
+                return lambda *a, **k: None
+
+        ul.Logger = _Logger
+        u.logger = ul
+        sys.modules["utils"] = u
+        sys.modules["utils.logger"] = ul
+    for missing in ("pykitti", "nibabel", "MinkowskiEngine"):
+        # optional deps imported at module scope by rdmnet/utils/*;
+        # unused by the model forward path
+        if missing not in sys.modules:
+            sys.modules[missing] = types.ModuleType(missing)
     if "easydict" not in sys.modules:
         easydict = types.ModuleType("easydict")
 

@@ -13,6 +13,7 @@ from rdmnet_tpu.ops import (
     pairwise_sq_dist,
     point_to_node_partition,
     radius_knn,
+    radius_knn_banded,
     rodrigues_rotation,
     take_padded,
     weighted_procrustes,
@@ -154,6 +155,81 @@ class TestRadiusKnn:
         idx = np.asarray(radius_knn(jnp.asarray(q), jnp.asarray(s), jnp.int32(4), 1.0, 8))
         valid = idx[0][idx[0] < 10]
         assert np.all(valid < 4)
+
+
+def _xsorted_cloud(rng, n, extent, cell):
+    """Random cloud sorted by (x, y, z) cell key — the banded-search
+    precondition every pyramid level satisfies by construction."""
+    pts = (rng.rand(n, 3) * extent).astype(np.float32)
+    anchor = np.floor(pts.min(0) / cell) * cell
+    c = np.floor((pts - anchor) / cell).astype(np.int64)
+    key = (c[:, 0] << 40) | (c[:, 1] << 20) | c[:, 2]
+    return pts[np.argsort(key, kind="stable")]
+
+
+class TestRadiusKnnBanded:
+    def test_matches_full_search(self, rng):
+        cell, radius, k = 0.5, 1.0, 8
+        s = _xsorted_cloud(rng, 600, np.array([40.0, 4.0, 2.0]), cell)
+        q = _xsorted_cloud(rng, 400, np.array([40.0, 4.0, 2.0]), cell)
+        full = np.asarray(
+            radius_knn(jnp.asarray(q), jnp.asarray(s), jnp.int32(600), radius, k)
+        )
+        banded, overflow = radius_knn_banded(
+            jnp.asarray(q), jnp.asarray(s), jnp.int32(600), radius, k,
+            cell=cell, band_cap=256, q_count=jnp.int32(400), chunk_size=64,
+            return_overflow=True,
+        )
+        banded = np.asarray(banded)
+        assert int(overflow) == 0
+        # same neighbor sets per row (order ties allowed on equal distances)
+        d = ((q[:, None] - s[None]) ** 2).sum(-1)
+        for i in range(len(q)):
+            a = full[i][full[i] < 600]
+            b = banded[i][banded[i] < 600]
+            assert len(a) == len(b)
+            np.testing.assert_allclose(d[i][a], d[i][b], atol=1e-5)
+
+    def test_pads_and_counts(self, rng):
+        cell, radius, k = 0.5, 1.0, 6
+        s = _xsorted_cloud(rng, 200, np.array([30.0, 3.0, 2.0]), cell)
+        s_pad = np.concatenate([s, np.full((56, 3), 1e9, np.float32)])
+        q_pad = np.concatenate([s[:50], np.full((14, 3), 1e9, np.float32)])
+        idx = np.asarray(radius_knn_banded(
+            jnp.asarray(q_pad), jnp.asarray(s_pad), jnp.int32(200), radius, k,
+            cell=cell, band_cap=128, q_count=jnp.int32(50), chunk_size=32,
+        ))
+        assert idx.shape == (64, k)
+        # pad queries find nothing; valid queries never point at pad support
+        assert np.all(idx[50:] == 256)
+        valid_hits = idx[:50][idx[:50] < 256]
+        assert np.all(valid_hits < 200)
+        # every valid query finds at least itself
+        assert np.all((idx[:50] < 256).sum(1) >= 1)
+
+    def test_overflow_reported_when_band_undersized(self, rng):
+        cell, radius, k = 0.5, 2.0, 4
+        # dense cloud in a thin x-slab: every chunk's band is the whole cloud
+        pts = (rng.rand(256, 3) * np.array([1.0, 20.0, 20.0])).astype(np.float32)
+        anchor = np.floor(pts.min(0) / cell) * cell
+        c = np.floor((pts - anchor) / cell).astype(np.int64)
+        key = (c[:, 0] << 40) | (c[:, 1] << 20) | c[:, 2]
+        s = pts[np.argsort(key, kind="stable")]
+        _, overflow = radius_knn_banded(
+            jnp.asarray(s), jnp.asarray(s), jnp.int32(256), radius, k,
+            cell=cell, band_cap=64, q_count=jnp.int32(256), chunk_size=64,
+            return_overflow=True,
+        )
+        assert int(overflow) > 0
+
+    def test_falls_back_to_full_when_band_covers(self, rng):
+        s = _xsorted_cloud(rng, 100, np.array([10.0, 5.0, 2.0]), 0.5)
+        a = np.asarray(radius_knn_banded(
+            jnp.asarray(s), jnp.asarray(s), jnp.int32(100), 1.0, 5,
+            cell=0.5, band_cap=128, q_count=jnp.int32(100),
+        ))
+        b = np.asarray(radius_knn(jnp.asarray(s), jnp.asarray(s), jnp.int32(100), 1.0, 5))
+        np.testing.assert_array_equal(a, b)
 
 
 class TestPointToNodePartition:
