@@ -65,8 +65,10 @@ def make_forward(cfg: Config, model, with_gt: bool):
 
     @jax.jit
     def forward(params, rp, rc, sp, sc, transform):
-        batch = build_pair_batch(rp, rc, sp, sc, transform, cfg.pyramid)
-        return model.apply(params, batch, training=False, with_gt=with_gt)
+        # eval-time exact f32 matmuls (see Config.eval_matmul_precision)
+        with jax.default_matmul_precision(cfg.eval_matmul_precision):
+            batch = build_pair_batch(rp, rc, sp, sc, transform, cfg.pyramid)
+            return model.apply(params, batch, training=False, with_gt=with_gt)
 
     return forward
 

@@ -64,9 +64,13 @@ def main():
 
     @jax.jit
     def forward(params, rp, rc, sp, sc, transform):
-        batch = build_pair_batch(rp, rc, sp, sc, transform, cfg.pyramid)
-        out = model.apply(params, batch, training=False, with_gt=True)
-        metrics = evaluator(out, batch, evaling=True)
+        # exact f32 matmuls at eval: the TPU default (bf16 products) costs
+        # ~1e-3 relative feature error — measured ~7% slower, but reported
+        # metrics then reflect the trained function exactly
+        with jax.default_matmul_precision(cfg.eval_matmul_precision):
+            batch = build_pair_batch(rp, rc, sp, sc, transform, cfg.pyramid)
+            out = model.apply(params, batch, training=False, with_gt=True)
+            metrics = evaluator(out, batch, evaling=True)
         # capacity-overflow telemetry (silent-degradation guard): nonzero
         # means a pyramid level clipped real voxels — resize bucket caps
         metrics["dropped"] = (

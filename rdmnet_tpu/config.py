@@ -98,6 +98,13 @@ class BackboneConfig:
     input_dim: int = 1
     init_dim: int = 64
     output_dim: int = 256
+    # Share the geometric kernel-influence tensor across same-level blocks.
+    # Valid when every KPConv layer uses the SAME kernel disposition (our
+    # fresh-training default: the canonical deterministic kernel). Set False
+    # when running converted reference checkpoints — the reference rotates/
+    # jitters the kernel independently per layer, so each KPConv must
+    # compute influence from its own restored kernel_points.
+    shared_influence: bool = True
 
     @property
     def init_radius(self) -> float:
@@ -300,6 +307,13 @@ class Config:
     # MXU compute dtype for backbone/transformer matmuls ("float32" or
     # "bfloat16"); norms, softmax, geometry, Sinkhorn and pose math stay f32.
     compute_dtype: str = "float32"
+    # jax.default_matmul_precision for evaluation/inference ("default" |
+    # "float32" | "highest"). The TPU "default" runs f32 matmuls as
+    # single-pass bf16 products (~1e-3 relative); "highest" is exact f32 at
+    # a measured ~7% end-to-end cost — the eval/test/infer CLIs use this so
+    # reported metrics reflect the trained function, while training and the
+    # throughput bench keep "default".
+    eval_matmul_precision: str = "highest"
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     train: TrainDataConfig = dataclasses.field(default_factory=TrainDataConfig)
     test: TestDataConfig = dataclasses.field(default_factory=TestDataConfig)

@@ -48,8 +48,20 @@ def create_optimizer(cfg: Config, steps_per_epoch: int, dp_size: int = 1):
         decay_rate=cfg.optim.lr_decay,
         staircase=True,
     )
+    # kernel_points are geometry constants (stop-gradient params so that
+    # converted reference checkpoints restore them) — never decay them
+    def _decay_mask(params):
+        import jax
+
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: not any(
+                getattr(k, "key", None) == "kernel_points" for k in path
+            ),
+            params,
+        )
+
     tx = optax.chain(
-        optax.add_decayed_weights(cfg.optim.weight_decay),
+        optax.add_decayed_weights(cfg.optim.weight_decay, mask=_decay_mask),
         optax.adam(schedule),
     )
     # skip updates with non-finite grads instead of crashing

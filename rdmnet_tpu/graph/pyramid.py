@@ -68,6 +68,83 @@ class PairBatch:
     transform: jnp.ndarray   # (4, 4) GT: src -> ref
 
 
+@struct.dataclass
+class StackedGraph:
+    """The (ref, src) pair concatenated into ONE static graph per level.
+
+    Reference semantics: the torch reference runs its whole KPConv backbone
+    on the stacked [ref; src] cloud, so GroupNorm statistics are computed
+    over BOTH clouds jointly (geotransformer/utils/data.py:118 stacking;
+    modules.py:33-50 norm over the full stacked axis). Running the backbone
+    per cloud changes those statistics — a real numeric divergence caught by
+    the end-to-end golden test. This struct rebuilds the reference's
+    stacking statically: src rows live at a fixed offset of cap per level,
+    index tables are offset/sentinel-remapped, and validity is a mask.
+
+    Duck-typed to the subset of CloudPyramid the backbone consumes
+    (points / neighbors / subsampling / upsampling / mask / num_stages).
+    """
+
+    points: Tuple[jnp.ndarray, ...]       # level i: (2 * cap_i, 3)
+    masks: Tuple[jnp.ndarray, ...]        # level i: (2 * cap_i,) bool
+    neighbors: Tuple[jnp.ndarray, ...]
+    subsampling: Tuple[jnp.ndarray, ...]
+    upsampling: Tuple[jnp.ndarray, ...]
+
+    @property
+    def num_stages(self) -> int:
+        return len(self.points)
+
+    def mask(self, level: int) -> jnp.ndarray:
+        return self.masks[level]
+
+
+def stack_pair_graph(ref: CloudPyramid, src: CloudPyramid) -> StackedGraph:
+    """Concatenate two same-capacity pyramids into a StackedGraph.
+
+    Index remap per table (query level q, support level s with cap C_s):
+    ref entries keep their index but sentinel C_s -> 2*C_s; src entries
+    shift by +C_s (their sentinel C_s lands on 2*C_s automatically).
+    """
+    ns = ref.num_stages
+    for i in range(ns):
+        assert ref.points[i].shape[0] == src.points[i].shape[0], (
+            "stacking requires equal per-level capacities"
+        )
+
+    def remap(ref_tab, src_tab, s_cap):
+        r = jnp.where(ref_tab >= s_cap, 2 * s_cap, ref_tab)
+        s = src_tab + s_cap  # sentinel s_cap + s_cap == 2*s_cap
+        return jnp.concatenate([r, s], axis=0)
+
+    points = tuple(
+        jnp.concatenate([ref.points[i], src.points[i]], axis=0)
+        for i in range(ns)
+    )
+    masks = tuple(
+        jnp.concatenate([ref.mask(i), src.mask(i)], axis=0) for i in range(ns)
+    )
+    neighbors = tuple(
+        remap(ref.neighbors[i], src.neighbors[i], ref.points[i].shape[0])
+        for i in range(ns)
+    )
+    subsampling = tuple(
+        remap(ref.subsampling[i], src.subsampling[i], ref.points[i].shape[0])
+        for i in range(ns - 1)
+    )
+    upsampling = tuple(
+        remap(ref.upsampling[i], src.upsampling[i], ref.points[i + 1].shape[0])
+        for i in range(ns - 1)
+    )
+    return StackedGraph(
+        points=points,
+        masks=masks,
+        neighbors=neighbors,
+        subsampling=subsampling,
+        upsampling=upsampling,
+    )
+
+
 def build_cloud_pyramid(
     points: jnp.ndarray,
     count: jnp.ndarray,

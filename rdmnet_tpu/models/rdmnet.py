@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rdmnet_tpu.config import Config
-from rdmnet_tpu.graph.pyramid import PairBatch
+from rdmnet_tpu.graph.pyramid import PairBatch, stack_pair_graph
 from rdmnet_tpu.nn.backbone import Decoder, Encoder
 from rdmnet_tpu.nn.matching import superpoint_matching, superpoint_target_sample
 from rdmnet_tpu.nn.sinkhorn import LearnableLogOptimalTransport
@@ -82,14 +82,21 @@ class RDMNet(nn.Module):
         out["ref_mask_f"] = ref_mask_f
         out["src_mask_f"] = src_mask_f
 
-        # ---------------- backbone encoder, shared weights per cloud -------
-        # sequential calls (same module instance -> shared params) instead of
-        # nn.vmap: batched gathers under vmap are ~2.8x slower on TPU than
-        # two unbatched gathers (measured)
+        # ---------------- backbone on the statically stacked pair ----------
+        # ONE encoder pass over the concatenated [ref; src] graph — not per
+        # cloud, and not nn.vmap (batched gathers under vmap are ~2.8x slower
+        # on TPU, measured). This reproduces the reference's stacked-cloud
+        # semantics exactly: GroupNorm statistics are shared across the pair
+        # (reference runs the backbone on the stacked batch,
+        # experiments/model_infer.py:146, geotransformer/modules GroupNorm
+        # over the full point axis) — verified by the end-to-end golden test.
+        graph = stack_pair_graph(ref_pyr, src_pyr)
+        cap_c = ref_points_c.shape[0]
+        cap_f = ref_points_f.shape[0]
         encoder = Encoder(cfg.backbone, dtype=dtype, name="encoder")
-        ref_feats_list = encoder(batch.ref_feats, ref_pyr)
-        src_feats_list = encoder(batch.src_feats, src_pyr)
-        feats_c = jnp.stack([ref_feats_list[-1], src_feats_list[-1]])  # (2, cap_c, 2048)
+        feats_in = jnp.concatenate([batch.ref_feats, batch.src_feats], axis=0)
+        feats_list = encoder(feats_in, graph)
+        feats_c = feats_list[-1].reshape(2, cap_c, -1)  # (2, cap_c, 2048)
 
         # ---------------- transformer #1 on original coarse nodes ----------
         ref_feats_c, src_feats_c = ThDRoFormer(
@@ -113,23 +120,23 @@ class RDMNet(nn.Module):
         out["src_n2p_scores_c"] = jax.nn.sigmoid(src_n2p_logit[:, 0])
 
         # ---------------- decoder with score channel -----------------------
+        # same stacked-pair pass as the encoder (shared GroupNorm statistics)
         decoder = Decoder(cfg.backbone, dtype=dtype, name="decoder")
-        ref_dec = decoder(
-            list(ref_feats_list[:-1])
-            + [jnp.concatenate([ref_feats_c, ref_n2p_logit], axis=1)],
-            ref_pyr,
+        coarse_cond = jnp.concatenate(
+            [
+                jnp.concatenate([ref_feats_c, ref_n2p_logit], axis=1),
+                jnp.concatenate([src_feats_c, src_n2p_logit], axis=1),
+            ],
+            axis=0,
         )
-        src_dec = decoder(
-            list(src_feats_list[:-1])
-            + [jnp.concatenate([src_feats_c, src_n2p_logit], axis=1)],
-            src_pyr,
-        )
-        ref_feats_f = ref_dec[0][:, :-1]        # (cap_f, output_dim)
-        src_feats_f = src_dec[0][:, :-1]
+        dec = decoder(list(feats_list[:-1]) + [coarse_cond], graph)
+        dec_f = dec[0].reshape(2, cap_f, -1)
+        ref_feats_f = dec_f[0][:, :-1]          # (cap_f, output_dim)
+        src_feats_f = dec_f[1][:, :-1]
         out["ref_feats_f"] = ref_feats_f
         out["src_feats_f"] = src_feats_f
-        out["ref_p2p_scores_c"] = jax.nn.sigmoid(ref_dec[0][:, -1])
-        out["src_p2p_scores_c"] = jax.nn.sigmoid(src_dec[0][:, -1])
+        out["ref_p2p_scores_c"] = jax.nn.sigmoid(dec_f[0][:, -1])
+        out["src_p2p_scores_c"] = jax.nn.sigmoid(dec_f[1][:, -1])
 
         # ---------------- vote branch --------------------------------------
         use_vote = cfg.vote.model_use_vote and cfg.vote.inference_use_vote

@@ -48,8 +48,13 @@ class Encoder(nn.Module):
         feats_list = []
 
         # geometry-only kernel influences are shared by every block with the
-        # same (points, neighbors, radius): compute once per level
+        # same (points, neighbors, radius): compute once per level. Only
+        # valid with a shared canonical kernel disposition — disabled for
+        # converted reference checkpoints (per-layer kernels; see
+        # BackboneConfig.shared_influence).
         def self_influence(lvl, radius, sigma):
+            if not c.shared_influence:
+                return None
             return kpconv_influence(
                 pts[lvl], pts[lvl], nbrs[lvl], make_kernel_points(radius, ks), sigma
             )

@@ -113,14 +113,21 @@ class KPConv(nn.Module):
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             (k, self.in_channels, self.out_channels),
         )
+        # kernel_points is ALWAYS a (stop-gradient) parameter so converted
+        # reference checkpoints restore each layer's own disposition — the
+        # reference randomly rotates + jitters the kernel per layer at
+        # build time (kernel_points.py:426-453, unseeded), so its trained
+        # weights only make sense with the exact kernels in the state_dict.
+        # Fresh training here initializes the deterministic canonical
+        # disposition (a deliberate reproducibility improvement), or the
+        # reference's randomization with randomize_kernel=True. Never
+        # trained (stop_gradient; excluded from weight decay in
+        # engine/train_step.create_optimizer).
         if self.randomize_kernel:
-            kernel_points = self.param(
-                "kernel_points",
-                lambda key: make_kernel_points(self.radius, k, key=key),
-            )
-            kernel_points = jax.lax.stop_gradient(kernel_points)
+            init = lambda key: make_kernel_points(self.radius, k, key=key)
         else:
-            kernel_points = make_kernel_points(self.radius, k)
+            init = lambda key: make_kernel_points(self.radius, k)
+        kernel_points = jax.lax.stop_gradient(self.param("kernel_points", init))
 
         if influence is None:
             influence = kpconv_influence(

@@ -82,11 +82,29 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict:
             path = path[:-1] + ["weights"]
         elif leaf == "alpha":
             path = path[:-1] + ["alpha"]
-        elif leaf == "kernel_points" or leaf == "div_term":
-            continue  # regenerated buffers
+        elif leaf == "kernel_points":
+            pass  # per-layer kernel disposition: restored verbatim — the
+            # reference randomizes it at build time, so trained weights
+            # are only meaningful with the checkpoint's own kernels
+        elif leaf == "div_term":
+            continue  # regenerated buffer
 
-        # torch GroupNorm module nesting: ours is MaskedGroupNorm directly
-        path = [p for p in path if p != "norm_inner"]
+        # Collapse the reference's extra module nesting onto our flat names:
+        # * GroupNorm wrapper: `<block>.norm.norm.*` / `norm_conv.norm.*`
+        #   -> our MaskedGroupNorm sits directly at `<block>.norm[_conv]`
+        # * ThDRoFormer inner stack: `transformer.transformer.<layer>` ->
+        #   our layers live directly under the ThDRoFormer module
+        # * geometric embedding: `embedding.proj` -> our single Dense
+        collapsed = []
+        for p in path:
+            if collapsed and (
+                (p == "norm" and collapsed[-1] in ("norm", "norm_conv"))
+                or (p == "transformer" and collapsed[-1] in ("transformer", "transformer2"))
+                or (p == "proj" and collapsed[-1] == "embedding")
+            ):
+                continue
+            collapsed.append(p)
+        path = collapsed
         # vote layer sequential indices: mlp_modules.{0,3}=Dense,
         # {1,4}=LayerNorm -> mlp_{i}/mlp_norm_{i}
         if path[0] == "vote" and len(path) > 1 and path[1] == "mlp_modules":

@@ -92,7 +92,8 @@ class TestKPConv:
 
         ours = KPConv(cin, cout, k, radius, sigma, use_bias=True)
         params = {
-            "params": {"weights": t2n(tm.weights), "bias": t2n(tm.bias)}
+            "params": {"weights": t2n(tm.weights), "bias": t2n(tm.bias),
+                       "kernel_points": kp}
         }
         j_out = np.asarray(
             ours.apply(params, jnp.asarray(s_feats), jnp.asarray(q_points),

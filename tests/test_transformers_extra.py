@@ -109,7 +109,10 @@ class TestTorchConvert:
                 np.ones((256, 128), np.float32),
         }
         tree = convert_state_dict(sd)
-        t = tree["transformer"]["transformer"]
+        # the reference's inner `.transformer.` stack collapses onto our
+        # flat module names (validated key-for-key by
+        # tests/test_golden_e2e.py::test_converter_tree_is_exact)
+        t = tree["transformer"]
         assert "self_0" in t and "cross_0" in t
         assert t["self_0"]["attention"]["proj_q"]["kernel"].shape == (128, 128)
         assert t["self_0"]["output"]["expand"]["kernel"].shape == (128, 256)
