@@ -17,12 +17,22 @@ from rdmnet_tpu.models import RDMNet
 
 
 def build_model_and_params(
-    cfg: Config, snapshot_dir: Optional[str] = None, epoch: Optional[int] = None
+    cfg: Config, snapshot_dir: Optional[str] = None, epoch: Optional[int] = None,
+    torch_checkpoint: Optional[str] = None,
 ):
     """Create the model; load params from a snapshot if given, else random
     init (reference testers resolve snapshots by epoch,
-    base_tester.py:54-58)."""
+    base_tester.py:54-58). ``torch_checkpoint`` loads a reference .pth.tar
+    through utils/torch_convert — use with config.make_parity_cfg()."""
     model = RDMNet(cfg)
+    if torch_checkpoint:
+        from rdmnet_tpu.utils.torch_convert import (
+            convert_state_dict,
+            load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(torch_checkpoint)
+        return model, {"params": convert_state_dict(sd)}
     rng = np.random.RandomState(0)
     pts = (rng.rand(256, 3) * 10).astype(np.float32)
 

@@ -28,15 +28,25 @@ def main():
     parser.add_argument("--asset_dir", default="/root/reference/assets/pc")
     parser.add_argument("--output_dir", default="output/infer")
     parser.add_argument("--ransac_iterations", type=int, default=50000)
+    parser.add_argument("--torch_checkpoint", default=None)
+    parser.add_argument("--no_parity_cfg", action="store_true")
     args = parser.parse_args()
 
-    cfg = make_cfg()
+    if args.torch_checkpoint and not args.no_parity_cfg:
+        from rdmnet_tpu.config import make_parity_cfg
+
+        cfg = make_parity_cfg()
+    else:
+        cfg = make_cfg()
     os.makedirs(args.output_dir, exist_ok=True)
 
     dataset = RegistrationPairDataset(
         "kitti", root=args.asset_dir, subset="infer", demo_asset_dir=args.asset_dir
     )
-    model, params = build_model_and_params(cfg, args.snapshot_dir, args.test_epoch)
+    model, params = build_model_and_params(
+        cfg, args.snapshot_dir, args.test_epoch,
+        torch_checkpoint=args.torch_checkpoint,
+    )
     forward = make_forward(cfg, model, with_gt=False)
 
     pose_lines = []

@@ -44,10 +44,20 @@ def main():
     # test_batchoffline.py:255-262)
     parser.add_argument("--num_shards", type=int, default=1)
     parser.add_argument("--shard_id", type=int, default=0)
+    # converted reference checkpoint: .pth.tar path; implies the
+    # reference-faithful parity config (calibrated neighbor limits, exact
+    # search, per-layer kernels) unless --no_parity_cfg
+    parser.add_argument("--torch_checkpoint", default=None)
+    parser.add_argument("--no_parity_cfg", action="store_true")
     args = parser.parse_args()
     assert 0 <= args.shard_id < args.num_shards
 
-    cfg = make_cfg()
+    if args.torch_checkpoint and not args.no_parity_cfg:
+        from rdmnet_tpu.config import make_parity_cfg
+
+        cfg = make_parity_cfg()
+    else:
+        cfg = make_cfg()
     if args.dataset == "mulran":
         # vote disabled at inference for MulRan (reference test.py:107-108)
         cfg = cfg.replace(vote=dataclasses.replace(cfg.vote, inference_use_vote=False))
@@ -59,7 +69,10 @@ def main():
         args.dataset, root=args.root, subset=args.subset,
         point_limit=cfg.test.point_limit,
     )
-    model, params = build_model_and_params(cfg, args.snapshot_dir, args.test_epoch)
+    model, params = build_model_and_params(
+        cfg, args.snapshot_dir, args.test_epoch,
+        torch_checkpoint=args.torch_checkpoint,
+    )
     evaluator = Evaluator(cfg)
 
     @jax.jit

@@ -116,3 +116,15 @@ class TestTorchConvert:
         assert "self_0" in t and "cross_0" in t
         assert t["self_0"]["attention"]["proj_q"]["kernel"].shape == (128, 128)
         assert t["self_0"]["output"]["expand"]["kernel"].shape == (128, 256)
+
+    def test_parity_cfg_preset(self):
+        """make_parity_cfg applies the reference-faithful knobs converted
+        checkpoints require (calibrated limits, exact search, per-layer
+        kernels)."""
+        from rdmnet_tpu.config import make_parity_cfg
+
+        cfg = make_parity_cfg()
+        assert cfg.pyramid.neighbor_limits == (65, 63, 69, 71, 81)
+        assert cfg.pyramid.approx_recall is None
+        assert cfg.backbone.shared_influence is False
+        assert cfg.eval_matmul_precision == "highest"
