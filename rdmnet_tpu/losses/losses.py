@@ -98,33 +98,57 @@ class GapLoss:
         dists = pairwise_sq_dist(ref_pts, src_pts)  # (P, K, K) squared
         gt_masks = ref_m[:, :, None] & src_m[:, None, :]
         r2 = self.positive_radius**2
+        p = scores.shape[0]
 
-        def one_side(dists_side, row_masks, score_rows):
-            """dists_side (P, K, K): min over axis 2 selects each row's match.
-            score_rows (P, K, K+1): this side's score rows incl. dustbin."""
-            min_d = jnp.min(jnp.where(gt_masks, dists_side, _BIG), axis=2)
-            argmin = jnp.argmin(jnp.where(gt_masks, dists_side, _BIG), axis=2)
-            has_corr = min_d < r2                     # (P, K)
-            # label column: the match, or the dustbin when no match
-            label = jnp.where(has_corr, argmin, k)    # (P, K) in [0, K]
-            pos = -jnp.take_along_axis(score_rows, label[..., None], axis=2)[..., 0]
-            # negatives: the K non-label entries of each row (reference takes
-            # all-but-label of the K+1 entries -> K columns); masked columns
-            # carry -(-1e12) and die in the relu hinge automatically
-            neg_all = -score_rows                     # (P, K, K+1)
-            onehot = jax.nn.one_hot(label, k1, dtype=bool)
-            big = jnp.where(onehot, jnp.inf, neg_all)
-            neg = -jnp.sort(-big, axis=2)[:, :, 1:]   # drop the label entry
-            gap = pos[..., None] - neg                # (P, K, K)
-            hinge = jnp.maximum(gap + self.gamma, 0.0)
-            per_row = jnp.log(jnp.sum(hinge, axis=2) + 1.0)
-            return masked_mean(per_row, row_masks)
+        # ---- ref side (reference loss.py:260-268): per ROW of the score
+        # matrix, positives/negatives stay row-aligned
+        masked_d = jnp.where(gt_masks, dists, _BIG)
+        ref_min = jnp.min(masked_d, axis=2)
+        ref_arg = jnp.argmin(masked_d, axis=2)
+        ref_label = jnp.where(ref_min < r2, ref_arg, k)   # (P, K) in [0, K]
+        ref_rows = scores[:, :k, :]                       # (P, K, K+1)
+        pos = -jnp.take_along_axis(ref_rows, ref_label[..., None], axis=2)[..., 0]
+        onehot = jax.nn.one_hot(ref_label, k1, dtype=bool)
+        big = jnp.where(onehot, jnp.inf, -ref_rows)
+        neg = -jnp.sort(-big, axis=2)[:, :, 1:]           # drop the label entry
+        hinge = jnp.maximum(pos[..., None] - neg + self.gamma, 0.0)
+        per_row = jnp.log(jnp.sum(hinge, axis=2) + 1.0)
+        loss_ref = masked_mean(per_row, ref_m)
 
-        loss_ref = one_side(dists, ref_m, scores[:, :k, :])
-        # source side: transpose so rows index src points
-        loss_src = one_side(
-            jnp.swapaxes(dists, 1, 2), src_m, jnp.swapaxes(scores, 1, 2)[:, :k, :]
-        )
+        # ---- src side (reference loss.py:270-276): the reference gathers
+        # the non-label entries of the (K+1, K) grid in ROW-MAJOR order and
+        # reshapes to (K, K) — but src labels are one per COLUMN, so that
+        # view scrambles negatives across columns. Deliberately replicated:
+        # the published model was trained with exactly this objective. A
+        # stable argsort on the label flags reproduces "flatten row-major,
+        # drop the K labeled entries, reshape".
+        masked_dT = jnp.swapaxes(masked_d, 1, 2)          # (P, K_src, K_ref)
+        src_min = jnp.min(masked_dT, axis=2)
+        src_arg = jnp.argmin(masked_dT, axis=2)
+        src_label = jnp.where(src_min < r2, src_arg, k)   # (P, K) row in [0, K]
+        grid = -scores[:, :, :k]                          # (P, K+1, K)
+        pos2 = jnp.take_along_axis(
+            grid, src_label[:, None, :], axis=1
+        )[:, 0, :]                                        # (P, K)
+        lab = (
+            jnp.arange(k1)[None, :, None] == src_label[:, None, :]
+        )                                                 # (P, K+1, K)
+        flat = grid.reshape(p, k1 * k)
+        labf = lab.reshape(p, k1 * k)
+        order = jnp.argsort(labf, axis=1, stable=True)    # non-labels first
+        neg2 = jnp.take_along_axis(flat, order[:, : k * k], axis=1)
+        neg2 = neg2.reshape(p, k, k)                      # scrambled (row r, t)
+        # positives are gathered by the same row-major boolean indexing, so
+        # their sequence is ordered by (label_row, col), not by col — pair
+        # sequence position t with negatives column t, as the reference does
+        key = src_label * k + jnp.arange(k, dtype=src_label.dtype)[None, :]
+        perm = jnp.argsort(key, axis=1)
+        pos2_seq = jnp.take_along_axis(pos2, perm, axis=1)
+        col_valid_seq = jnp.take_along_axis(src_m, perm, axis=1)
+        hinge2 = jnp.maximum(pos2_seq[:, None, :] - neg2 + self.gamma, 0.0)
+        per_t = jnp.log(jnp.sum(hinge2, axis=1) + 1.0)    # (P, K)
+        loss_src = masked_mean(per_t, col_valid_seq)
+
         return 0.5 * (loss_ref + loss_src)
 
 
