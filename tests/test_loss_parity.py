@@ -221,6 +221,19 @@ def our_out(synth):
     return out, batch
 
 
+def _easy_eval_cfg(cfg):
+    from easydict import EasyDict
+
+    return EasyDict({
+        "eval": {
+            "acceptance_overlap": cfg.eval.acceptance_overlap,
+            "acceptance_radius": cfg.eval.acceptance_radius,
+            "rre_threshold": cfg.eval.rre_threshold,
+            "rte_threshold": cfg.eval.rte_threshold,
+        }
+    })
+
+
 def _ref_cfg():
     from easydict import EasyDict
 
@@ -279,6 +292,56 @@ class TestLossParity:
         r = float(ref_loss.SingleSideChamferLoss_Brute()(ref_out[0]))
         o = float(SingleSideChamferLoss()(our_out[0]))
         np.testing.assert_allclose(o, r, rtol=1e-4)
+
+    def test_evaluator_metrics(self, synth, ref_out, our_out):
+        """PIR / IR / RRE / RTE / RR vs the reference Evaluator on the same
+        predictions (reference loss.py:339-396)."""
+        from rdmnet_tpu.losses import Evaluator
+
+        rng = np.random.RandomState(9)
+        cfg = make_cfg()
+        M, N = len(synth["ref_c"]), len(synth["src_c"])
+        n_pred = 30
+        pred = np.stack([
+            rng.randint(0, M, n_pred), rng.randint(0, N, n_pred)
+        ], axis=1)
+        n_dense = 120
+        ref_corr = (rng.rand(n_dense, 3) * 20).astype(np.float32)
+        inv = np.linalg.inv(synth["tf"])
+        src_corr = (ref_corr @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+        src_corr[: n_dense // 2] += rng.randn(n_dense // 2, 3).astype(np.float32) * 2.0
+        est = random_rigid(rng) @ synth["tf"]
+
+        t = lambda x: torch.from_numpy(np.asarray(x))
+        ro = dict(ref_out[0])
+        ro.update({
+            "ref_points_c": t(synth["ref_c"]), "src_points_c": t(synth["src_c"]),
+            "ref_node_corr_indices": t(pred[:, 0]),
+            "src_node_corr_indices": t(pred[:, 1]),
+            "ref_corr_points": t(ref_corr), "src_corr_points": t(src_corr),
+            "estimated_transform": t(est),
+        })
+        rd = dict(ref_out[1])
+        rd["evaling"] = True
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        rres = ref_loss.Evaluator(_easy_eval_cfg(cfg))(ro, rd)
+
+        oo = dict(our_out[0])
+        j = jnp.asarray
+        oo.update({
+            "ref_node_corr_indices": j(pred[:, 0]),
+            "src_node_corr_indices": j(pred[:, 1]),
+            "node_corr_valid": jnp.ones((n_pred,), bool),
+            "ref_corr_points": j(ref_corr), "src_corr_points": j(src_corr),
+            "corr_scores": jnp.ones((n_dense,)),
+            "estimated_transform": j(est),
+        })
+        ours = Evaluator(cfg)(oo, our_out[1], evaling=True)
+        for key in ("PIR", "IR", "RRE", "RTE", "RR"):
+            np.testing.assert_allclose(
+                float(ours[key]), float(rres[key]), rtol=1e-3, atol=1e-5,
+                err_msg=f"metric {key}",
+            )
 
     def test_overall_loss(self, ref_out, our_out):
         r = ref_loss.OverallLoss(_ref_cfg())(ref_out[0], ref_out[1])
