@@ -34,7 +34,49 @@ def main():
     p_pairs.add_argument("--thres", type=float, default=10.0)
     p_pairs.add_argument("--out_root", default=None)
 
+    # per-dataset static-capacity calibration: neighbor limits (the
+    # reference calibrates these per run, utils/data.py:195-220) plus this
+    # framework's banded-search caps — both become PyramidConfig constants
+    p_cal = sub.add_parser("calibrate")
+    p_cal.add_argument("--dataset", default="kitti",
+                       choices=["kitti", "kitti360", "apollo", "mulran"])
+    p_cal.add_argument("--root", required=True)
+    p_cal.add_argument("--subset", default="train")
+    p_cal.add_argument("--num_scans", type=int, default=20)
+    p_cal.add_argument("--keep_ratio", type=float, default=0.8)
+
     args = parser.parse_args()
+
+    if args.cmd == "calibrate":
+        import numpy as np
+
+        from rdmnet_tpu.config import make_cfg
+        from rdmnet_tpu.data.calibration import (
+            calibrate_band_caps,
+            calibrate_neighbor_limits,
+        )
+        from rdmnet_tpu.data.datasets import RegistrationPairDataset
+
+        cfg = make_cfg()
+        extra = {"demo_asset_dir": args.root} if args.subset == "infer" else {}
+        dataset = RegistrationPairDataset(
+            args.dataset, root=args.root, subset=args.subset,
+            point_limit=cfg.train.point_limit, **extra,
+        )
+        step = max(1, len(dataset) // args.num_scans)
+        clouds = []
+        for i in range(0, len(dataset), step):
+            item = dataset[i]
+            clouds.append(np.asarray(item["ref_points"], np.float32))
+            if len(clouds) >= args.num_scans:
+                break
+        limits = calibrate_neighbor_limits(clouds, cfg.pyramid,
+                                           keep_ratio=args.keep_ratio)
+        bands = calibrate_band_caps(clouds, cfg.pyramid)
+        print(f"neighbor_limits = {limits}")
+        print(f"band_caps = {bands}")
+        print("(set these in PyramidConfig for this dataset)")
+        return
     from rdmnet_tpu.data.datasets import SCHEMAS
     from rdmnet_tpu.data.preprocess import downsample_dataset_sequence
 

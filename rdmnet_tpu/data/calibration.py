@@ -72,3 +72,83 @@ def calibrate_neighbor_limits(
         allc = np.concatenate(hists[lvl])
         limits.append(int(np.quantile(allc, keep_ratio, method="lower") + 1))
     return tuple(limits)
+
+
+def calibrate_band_caps(
+    clouds: List[np.ndarray],
+    spec: PyramidConfig,
+    headroom: float = 1.35,
+    multiple: int = 128,
+) -> Tuple:
+    """Derive per-level band capacities for the banded radius search.
+
+    Replays every search the pyramid performs (self, subsampling and
+    upsampling — support levels 0..num_stages-1) with the same x-major sort
+    and chunking rule as ``graph/pyramid.build_cloud_pyramid``, records the
+    maximum chunk-band occupancy over the sample ``clouds``, and returns
+    caps with ``headroom`` margin rounded up to ``multiple``. Levels where
+    the band would not beat the full search return None (unbanded).
+
+    Static band caps are an accuracy-relevant capacity (undersized bands
+    surface via the `dropped` telemetry); calibrate them per dataset like
+    the neighbor limits instead of trusting the KITTI defaults.
+    """
+    max_band = [0] * spec.num_stages
+
+    def sort_xmajor(p, cell):
+        anchor = np.floor(p.min(0) / cell) * cell
+        c = np.floor((p - anchor) / cell).astype(np.int64)
+        key = (c[:, 0] << 40) | (c[:, 1] << 20) | c[:, 2]
+        return p[np.argsort(key, kind="stable")]
+
+    def sort_cell(lvl):
+        return spec.voxel_size * (2.0 ** max(lvl, 1))
+
+    def chunk_for(q_cap):
+        return min(spec.band_chunk, max(128, ((q_cap // 16 + 63) // 64) * 64))
+
+    def band_max(q, s, s_lvl, r, q_lvl):
+        cell = sort_cell(s_lvl)
+        s_cells = np.floor(s[:, 0] / cell).astype(np.int64)
+        q_cells = np.floor(q[:, 0] / cell).astype(np.int64)
+        margin = int(np.ceil(r / cell)) + 1
+        chunk = chunk_for(spec.caps[q_lvl])
+        worst = 0
+        for i in range(0, len(q), chunk):
+            qc = q_cells[i : i + chunk]
+            a = np.searchsorted(s_cells, qc.min() - margin, "left")
+            b = np.searchsorted(s_cells, qc.max() + margin, "right")
+            worst = max(worst, b - a)
+        return worst
+
+    for cloud in clouds:
+        pts = cloud[: spec.caps[0]].astype(np.float32)
+        levels = [sort_xmajor(pts, 2.0 * spec.voxel_size)]
+        voxel = spec.voxel_size
+        for lvl in range(1, spec.num_stages):
+            voxel *= 2.0
+            p, c = grid_subsample(
+                jnp.asarray(levels[-1]), jnp.int32(len(levels[-1])),
+                voxel, spec.caps[lvl],
+            )
+            levels.append(np.asarray(p)[: int(c)])
+
+        radius = spec.search_radius
+        for lvl in range(spec.num_stages):
+            m = band_max(levels[lvl], levels[lvl], lvl, radius, lvl)
+            if lvl < spec.num_stages - 1:
+                m = max(m, band_max(levels[lvl + 1], levels[lvl], lvl, radius,
+                                    lvl + 1))
+            if lvl >= 1 and lvl - 1 >= spec.build_upsampling_from_level:
+                # upsampling[lvl-1]: queries level lvl-1 into support lvl;
+                # its radius (2x the previous level's) equals this level's
+                m = max(m, band_max(levels[lvl - 1], levels[lvl], lvl, radius,
+                                    lvl - 1))
+            max_band[lvl] = max(max_band[lvl], m)
+            radius *= 2.0
+
+    caps = []
+    for lvl in range(spec.num_stages):
+        cap = -(-int(max_band[lvl] * headroom) // multiple) * multiple
+        caps.append(None if cap >= spec.caps[lvl] else cap)
+    return tuple(caps)

@@ -126,3 +126,26 @@ class TestCalibration:
         limits = calibrate_neighbor_limits(clouds, spec, sample_threshold=100)
         assert len(limits) == 3
         assert all(1 <= l <= 512 for l in limits)
+
+    def test_band_caps_cover_real_scan(self, demo_pair):
+        """Calibrated band caps must let the banded search run the real
+        scan without band overflow (dropped stays zero)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from rdmnet_tpu.config import make_cfg
+        from rdmnet_tpu.data.calibration import calibrate_band_caps
+        from rdmnet_tpu.graph.pyramid import build_cloud_pyramid, pad_cloud
+
+        ref, src = demo_pair
+        spec = make_cfg().pyramid.scaled(0.7)
+        bands = calibrate_band_caps([ref, src], spec)
+        assert len(bands) == spec.num_stages
+        # fine levels must actually be banded (cheaper than full search)
+        assert bands[0] is not None and bands[0] < spec.caps[0]
+        spec2 = dataclasses.replace(spec, band_caps=bands)
+        rp, rc = pad_cloud(jnp.asarray(ref), spec2.caps[0])
+        pyr = jax.jit(lambda p, c: build_cloud_pyramid(p, c, spec2))(rp, rc)
+        assert int(jnp.sum(pyr.dropped)) == 0
