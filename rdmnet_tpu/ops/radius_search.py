@@ -130,6 +130,7 @@ def radius_knn_banded(
     chunk_size: int = 512,
     approx_recall: float | None = None,
     return_overflow: bool = False,
+    q_valid: jnp.ndarray | None = None,
 ):
     """Radius-bounded kNN against an x-sorted support, banded per query chunk.
 
@@ -163,6 +164,8 @@ def radius_knn_banded(
       band_cap: static support rows visible to one query chunk.
       q_count: () int32 valid query count (pads excluded from band bounds);
         None treats every query row as valid.
+      q_valid: (Q,) bool per-row query validity — overrides q_count when
+        pads are interleaved rather than trailing (e.g. sharded shards).
       chunk_size: query rows per tile.
       approx_recall: see ``radius_knn``.
       return_overflow: also return () int32 — total support rows that fell
@@ -188,10 +191,11 @@ def radius_knn_banded(
     s_cells = jnp.floor(sx / cell).astype(jnp.int32)
     qx = jnp.clip(q_points[:, 0], -_X_CLAMP, _X_CLAMP)
     q_cells = jnp.floor(qx / cell).astype(jnp.int32)
-    if q_count is None:
-        q_valid = jnp.ones((q,), bool)
-    else:
-        q_valid = jnp.arange(q, dtype=jnp.int32) < q_count
+    if q_valid is None:
+        if q_count is None:
+            q_valid = jnp.ones((q,), bool)
+        else:
+            q_valid = jnp.arange(q, dtype=jnp.int32) < q_count
 
     num_chunks = -(-q // chunk_size)
     pad = num_chunks * chunk_size - q

@@ -64,3 +64,64 @@ def test_dryrun_multichip_entry():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+class TestShardedSearch:
+    """Query-sharded (sp) radius search == single-device result."""
+
+    def _sorted_cloud(self, rng, n, cell=0.5):
+        pts = (rng.rand(n, 3) * np.array([40.0, 5.0, 2.0])).astype(np.float32)
+        anchor = np.floor(pts.min(0) / cell) * cell
+        c = np.floor((pts - anchor) / cell).astype(np.int64)
+        key = (c[:, 0] << 40) | (c[:, 1] << 20) | c[:, 2]
+        return pts[np.argsort(key, kind="stable")]
+
+    def test_matches_single_device(self, rng):
+        from rdmnet_tpu.ops import radius_knn
+        from rdmnet_tpu.parallel.sharded_search import sharded_radius_knn
+
+        assert len(jax.devices()) >= 8
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("sp",))
+        s = self._sorted_cloud(rng, 600)
+        q = self._sorted_cloud(rng, 402)  # deliberately not divisible by 8
+        radius, k = 1.0, 6
+
+        want = np.asarray(
+            radius_knn(jnp.asarray(q), jnp.asarray(s), jnp.int32(600), radius, k)
+        )
+        got = np.asarray(sharded_radius_knn(
+            jnp.asarray(q), jnp.asarray(s), jnp.int32(600), radius, k,
+            mesh=mesh, q_count=jnp.int32(402),
+        ))
+        d = ((q[:, None] - s[None]) ** 2).sum(-1)
+        for i in range(len(q)):
+            a = want[i][want[i] < 600]
+            b = got[i][got[i] < 600]
+            assert len(a) == len(b)
+            np.testing.assert_allclose(d[i][a], d[i][b], atol=1e-5)
+
+    def test_banded_matches_single_device(self, rng):
+        from rdmnet_tpu.ops import radius_knn_banded
+        from rdmnet_tpu.parallel.sharded_search import sharded_radius_knn
+
+        assert len(jax.devices()) >= 8
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("sp",))
+        cell, radius, k = 0.5, 1.0, 6
+        s = self._sorted_cloud(rng, 640, cell)
+        q = self._sorted_cloud(rng, 512, cell)
+
+        want = np.asarray(radius_knn_banded(
+            jnp.asarray(q), jnp.asarray(s), jnp.int32(640), radius, k,
+            cell=cell, band_cap=256, q_count=jnp.int32(512), chunk_size=64,
+        ))
+        got = np.asarray(sharded_radius_knn(
+            jnp.asarray(q), jnp.asarray(s), jnp.int32(640), radius, k,
+            mesh=mesh, q_count=jnp.int32(512), cell=cell, band_cap=256,
+            chunk_size=64,
+        ))
+        d = ((q[:, None] - s[None]) ** 2).sum(-1)
+        for i in range(len(q)):
+            a = want[i][want[i] < 640]
+            b = got[i][got[i] < 640]
+            assert len(a) == len(b)
+            np.testing.assert_allclose(d[i][a], d[i][b], atol=1e-5)
