@@ -58,15 +58,18 @@ def main():
         est = dumped["estimated_transform"]
 
         # RANSAC re-solve of the predicted correspondences, stored alongside
-        # the LGR pose (reference infer.py:75-82 does this with o3d RANSAC)
-        from rdmnet_tpu.cli.eval import ransac_np
+        # the LGR pose (reference infer.py:75-82 does this with o3d RANSAC).
+        # Pure-numpy and host-bound — pass --ransac_iterations 0 to skip
+        # when only the LGR pose is needed.
+        if args.ransac_iterations > 0:
+            from rdmnet_tpu.cli.eval import ransac_np
 
-        cfg_r = cfg.ransac
-        dumped["ransac_transform"] = ransac_np(
-            dumped["src_corr_points"], dumped["ref_corr_points"],
-            dumped["corr_scores"], num_iterations=args.ransac_iterations,
-            num_samples=cfg_r.num_points, threshold=cfg_r.distance_threshold,
-        )
+            cfg_r = cfg.ransac
+            dumped["ransac_transform"] = ransac_np(
+                dumped["src_corr_points"], dumped["ref_corr_points"],
+                dumped["corr_scores"], num_iterations=args.ransac_iterations,
+                num_samples=cfg_r.num_points, threshold=cfg_r.distance_threshold,
+            )
 
         name = f"{item['seq_id']}_{item['src_frame']}_{item['ref_frame']}"
         np.savez_compressed(osp.join(args.output_dir, name + ".npz"), **dumped)

@@ -56,6 +56,16 @@ def main():
         from rdmnet_tpu.config import make_parity_cfg
 
         cfg = make_parity_cfg()
+        if args.dataset != "kitti":
+            # the preset's neighbor limits are KITTI-calibrated; the
+            # reference calibrates per dataset (utils/data.py:195-220) and
+            # wrong limits measurably shift features under converted
+            # weights (STATUS.md) — recalibrate before trusting metrics
+            print(
+                f"WARNING: parity preset uses KITTI-calibrated neighbor "
+                f"limits; for {args.dataset} run `preprocess calibrate` "
+                f"and set PyramidConfig.neighbor_limits accordingly"
+            )
     else:
         cfg = make_cfg()
     if args.dataset == "mulran":

@@ -58,7 +58,10 @@ def main():
                 env=env,
             ))
         for p in procs:
-            assert p.wait() == 0, f"test worker failed (rc={p.returncode})"
+            if p.wait() != 0:
+                # a dead worker leaves its pair shard missing: evaluating
+                # the incomplete dump would silently corrupt the metrics
+                raise RuntimeError(f"test worker failed (rc={p.returncode})")
         for method in args.methods:
             print(f"=== epoch {epoch}: eval method={method}")
             subprocess.run(

@@ -67,6 +67,19 @@ class PyramidConfig:
             fitted = (self.band_caps + (None,) * self.num_stages)[: self.num_stages]
             object.__setattr__(self, "band_caps", fitted)
 
+    def sort_cell(self, lvl: int) -> float:
+        """Granularity the level's x-major point order is monotone in:
+        2*voxel for the level-0 sort, the level's own grid voxel above
+        (single source of truth for the banded search AND its calibration)."""
+        return self.voxel_size * (2.0 ** max(lvl, 1))
+
+    def band_chunk_for(self, q_lvl: int) -> int:
+        """Query rows per banded chunk: scales with the query level so a
+        chunk never spans more than ~1/16 of the scan (a fixed chunk of a
+        coarse level would cover most of the x-extent and blow the band)."""
+        return min(self.band_chunk,
+                   max(128, ((self.caps[q_lvl] // 16 + 63) // 64) * 64))
+
     def scaled(self, factor: float, multiple: int = 128) -> "PyramidConfig":
         """A bucket variant with capacities scaled by ``factor`` and rounded
         up to ``multiple`` (static-shape point-count bucketing — the

@@ -95,24 +95,22 @@ def calibrate_band_caps(
     """
     max_band = [0] * spec.num_stages
 
+    from rdmnet_tpu.ops.radius_search import band_margin
+
     def sort_xmajor(p, cell):
         anchor = np.floor(p.min(0) / cell) * cell
         c = np.floor((p - anchor) / cell).astype(np.int64)
         key = (c[:, 0] << 40) | (c[:, 1] << 20) | c[:, 2]
         return p[np.argsort(key, kind="stable")]
 
-    def sort_cell(lvl):
-        return spec.voxel_size * (2.0 ** max(lvl, 1))
-
-    def chunk_for(q_cap):
-        return min(spec.band_chunk, max(128, ((q_cap // 16 + 63) // 64) * 64))
-
     def band_max(q, s, s_lvl, r, q_lvl):
-        cell = sort_cell(s_lvl)
+        # sort-cell / chunk / margin rules shared with the runtime
+        # (PyramidConfig.sort_cell / band_chunk_for, radius_search.band_margin)
+        cell = spec.sort_cell(s_lvl)
         s_cells = np.floor(s[:, 0] / cell).astype(np.int64)
         q_cells = np.floor(q[:, 0] / cell).astype(np.int64)
-        margin = int(np.ceil(r / cell)) + 1
-        chunk = chunk_for(spec.caps[q_lvl])
+        margin = band_margin(r, cell)
+        chunk = spec.band_chunk_for(q_lvl)
         worst = 0
         for i in range(0, len(q), chunk):
             qc = q_cells[i : i + chunk]
@@ -123,7 +121,7 @@ def calibrate_band_caps(
 
     for cloud in clouds:
         pts = cloud[: spec.caps[0]].astype(np.float32)
-        levels = [sort_xmajor(pts, 2.0 * spec.voxel_size)]
+        levels = [sort_xmajor(pts, spec.sort_cell(0))]
         voxel = spec.voxel_size
         for lvl in range(1, spec.num_stages):
             voxel *= 2.0

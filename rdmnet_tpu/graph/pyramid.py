@@ -170,7 +170,7 @@ def build_cloud_pyramid(
     # chunk's candidates to a contiguous support band. Point order is an
     # internal detail — every consumer goes through the index tables.
     n0 = points.shape[0]
-    cell0 = 2.0 * spec.voxel_size
+    cell0 = spec.sort_cell(0)
     valid0 = jnp.arange(n0, dtype=jnp.int32) < count
     masked0 = jnp.where(valid0[:, None], points, jnp.inf)
     anchor = jnp.floor(jnp.min(masked0, axis=0) / cell0) * cell0
@@ -204,12 +204,8 @@ def build_cloud_pyramid(
     # Radius searches with radius doubling (reference: utils/data.py:31-69).
     # Fine levels use the banded search over the x-sorted supports; band
     # overflow (undersized static band) is folded into the per-level
-    # `dropped` telemetry. sort_cell(i) is the granularity level i's point
-    # order is monotone in: 2*voxel for the level-0 sort above, the level's
-    # own grid voxel for subsampled levels.
-    def sort_cell(i: int) -> float:
-        return spec.voxel_size * (2.0 ** max(i, 1))
-
+    # `dropped` telemetry. The sort-cell and chunk rules live on
+    # PyramidConfig so data/calibration.py stays in lockstep.
     def search(q_lvl: int, s_lvl: int, r: float, k: int):
         band = spec.band_caps[s_lvl]
         if band is None or band >= spec.caps[s_lvl]:
@@ -218,15 +214,11 @@ def build_cloud_pyramid(
                            approx_recall=spec.approx_recall),
                 jnp.int32(0),
             )
-        # chunk scales with the query level so a chunk never spans more
-        # than ~1/16 of the scan (a fixed chunk of a coarse level would
-        # cover most of the x-extent and blow the support band)
-        chunk = min(spec.band_chunk,
-                    max(128, ((spec.caps[q_lvl] // 16 + 63) // 64) * 64))
         return radius_knn_banded(
             pts[q_lvl], pts[s_lvl], cnts[s_lvl], r, k,
-            cell=sort_cell(s_lvl), band_cap=band, q_count=cnts[q_lvl],
-            chunk_size=chunk, approx_recall=spec.approx_recall,
+            cell=spec.sort_cell(s_lvl), band_cap=band, q_count=cnts[q_lvl],
+            chunk_size=spec.band_chunk_for(q_lvl),
+            approx_recall=spec.approx_recall,
             return_overflow=True,
         )
 

@@ -98,7 +98,6 @@ class GapLoss:
         dists = pairwise_sq_dist(ref_pts, src_pts)  # (P, K, K) squared
         gt_masks = ref_m[:, :, None] & src_m[:, None, :]
         r2 = self.positive_radius**2
-        p = scores.shape[0]
 
         # ---- ref side (reference loss.py:260-268): per ROW of the score
         # matrix, positives/negatives stay row-aligned

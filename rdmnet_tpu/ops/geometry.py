@@ -75,7 +75,12 @@ def get_rotation_translation_from_transform(transform: jnp.ndarray) -> Tuple[jnp
 # coordinate scale (~80 m) is centimeter-level position error and ~0.1 deg
 # rotation error — the same order as the accuracy targets (RRE 0.18 deg /
 # RTE 5.3 cm). These matmuls have inner dim 3, so exactness is free.
-_EXACT = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+# (Shared policy constant — ops/procrustes.py imports it for the rotation
+# composition; keep the policy in one place.)
+EXACT_MATMUL = dict(
+    preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+)
+_EXACT = EXACT_MATMUL
 
 
 def apply_transform(points: jnp.ndarray, transform: jnp.ndarray) -> jnp.ndarray:

@@ -65,22 +65,30 @@ def _extract_correspondences(
     dust_col = scores[:, :k, k]   # (P, K) per-row dustbin score
     dust_row = scores[:, k, :k]   # (P, K) per-col dustbin score
 
-    # row side: top-t over each (K+1)-wide row (reference :57-64)
-    row_vals, row_idx = jax.lax.top_k(scores[:, :k, :], t)       # (P, K, t)
+    # row side: top-t per row (reference :57-64). With the dustbin the
+    # ranking runs over the (K+1)-wide row (the reference keeps the dustbin
+    # in the candidate set and compares against it); WITHOUT the dustbin the
+    # reference matrix has no dustbin column at all, so ranking over K+1
+    # entries would let the dustbin evict a real body entry from the top-t.
     if cfg.use_dustbin:
+        row_vals, row_idx = jax.lax.top_k(scores[:, :k, :], t)   # (P, K, t)
         row_keep = (row_idx < k) & (row_vals > dust_col[..., None])
     else:
-        row_keep = (row_idx < k) & (row_vals > cfg.confidence_threshold)
+        row_vals, row_idx = jax.lax.top_k(scores[:, :k, :k], t)  # (P, K, t)
+        row_keep = row_vals > cfg.confidence_threshold
     row_j = jnp.minimum(row_idx, k - 1)                          # (P, K, t)
 
-    # col side: top-t over each (K+1)-wide column (reference :68-78)
-    col_vals, col_idx = jax.lax.top_k(
-        jnp.swapaxes(scores[:, :, :k], 1, 2), t                  # (P, K, K+1)
-    )                                                            # (P, K, t) per col j
+    # col side: top-t per column (reference :68-78), same dustbin rule
     if cfg.use_dustbin:
+        col_vals, col_idx = jax.lax.top_k(
+            jnp.swapaxes(scores[:, :, :k], 1, 2), t              # (P, K, K+1)
+        )                                                        # (P, K, t) per col j
         col_keep = (col_idx < k) & (col_vals > dust_row[..., None])
     else:
-        col_keep = (col_idx < k) & (col_vals > cfg.confidence_threshold)
+        col_vals, col_idx = jax.lax.top_k(
+            jnp.swapaxes(scores[:, :k, :k], 1, 2), t
+        )
+        col_keep = col_vals > cfg.confidence_threshold
     col_i = jnp.minimum(col_idx, k - 1)                          # (P, K, t)
 
     # mask/validity gates (reference :86-89)

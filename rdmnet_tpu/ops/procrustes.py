@@ -11,7 +11,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rdmnet_tpu.ops.geometry import get_transform_from_rotation_translation
+from rdmnet_tpu.ops.geometry import (
+    EXACT_MATMUL,
+    get_transform_from_rotation_translation,
+)
 
 
 def weighted_procrustes(
@@ -52,11 +55,10 @@ def weighted_procrustes(
     )
     u, _, vt = jnp.linalg.svd(h)
     # R = V diag(1,1,sign) U^T with sign = det(V U^T). All 3x3 composition
-    # matmuls run at HIGHEST precision: the TPU bf16 default would put
-    # ~1e-3 relative error straight into the rotation (~0.1 deg — the same
-    # order as the RRE accuracy target).
-    exact = dict(preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
+    # matmuls run at HIGHEST precision (geometry.EXACT_MATMUL policy): the
+    # TPU bf16 default would put ~1e-3 relative error straight into the
+    # rotation (~0.1 deg — the same order as the RRE accuracy target).
+    exact = EXACT_MATMUL
     v = jnp.swapaxes(vt, -1, -2)
     ut = jnp.swapaxes(u, -1, -2)
     sign = jnp.sign(jnp.linalg.det(jnp.matmul(v, ut, **exact)))

@@ -118,6 +118,13 @@ def radius_knn(
 _X_CLAMP = 5.0e5
 
 
+def band_margin(radius: float, cell: float) -> int:
+    """Cells of margin a band needs around a chunk's x-cell span: the
+    radius in cells, +1 absorbing fp rounding at voxel boundaries. Shared
+    by the banded search and its calibration (data/calibration.py)."""
+    return int(-(-radius // cell)) + 1
+
+
 def radius_knn_banded(
     q_points: jnp.ndarray,
     s_points: jnp.ndarray,
@@ -205,9 +212,8 @@ def radius_knn_banded(
         num_chunks, chunk_size, 3
     )
 
-    # +1 cell absorbs fp rounding at voxel boundaries (cells here are
-    # recomputed from float x; the sort used anchored cells).
-    margin = int(-(-radius // cell)) + 1
+    # (cells here are recomputed from float x; the sort used anchored cells)
+    margin = band_margin(radius, cell)
     big = jnp.iinfo(jnp.int32).max
     lo = jnp.min(jnp.where(qv, qc, big), axis=1) - margin
     hi = jnp.max(jnp.where(qv, qc, -big), axis=1) + margin

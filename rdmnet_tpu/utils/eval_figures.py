@@ -45,9 +45,10 @@ def umeyama_alignment(
 def compose_trajectory(rel_poses: Sequence[np.ndarray]) -> np.ndarray:
     """Chain scan-to-scan relative poses into an absolute trajectory.
 
-    rel_poses[k] maps frame k's coordinates into frame k+1's (the
-    registration output src->ref). Returns (N+1, 4, 4) absolute poses with
-    identity at the start.
+    rel_poses[k] maps frame k+1's coordinates into frame k's — the
+    registration output src->ref with ref the EARLIER frame (KITTI pair
+    convention), so A_{k+1} = A_k @ rel_poses[k]. Returns (N+1, 4, 4)
+    absolute poses with identity at the start.
     """
     traj = [np.eye(4)]
     for rel in rel_poses:
