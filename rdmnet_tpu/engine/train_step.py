@@ -172,6 +172,14 @@ def make_eval_step(cfg: Config, with_transform: bool = True) -> Callable:
 
     @jax.jit
     def eval_step(state: TrainState, batch: PairBatch):
+        bsz = batch.transform.shape[0]
+        if bsz == 1:
+            # unbatched fast path — XLA:TPU's windowed top-k emitter aborts
+            # on vmapped (1, N) operands (same workaround as batch_loss)
+            metrics, tf = single(
+                state.params, state.apply_fn, jax.tree.map(lambda x: x[0], batch)
+            )
+            return metrics, tf[None]
         metrics, transforms = jax.vmap(
             functools.partial(single, state.params, state.apply_fn)
         )(batch)
