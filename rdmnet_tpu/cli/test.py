@@ -75,9 +75,12 @@ def main():
     feature_dir = args.feature_dir or f"output/features{args.dataset}"
     os.makedirs(feature_dir, exist_ok=True)
 
+    # subset "infer" = the bundled demo pairs (no dataset mount needed) —
+    # smoke path for driving this CLI end-to-end, mirrors cli/infer
+    extra = {"demo_asset_dir": args.root} if args.subset == "infer" else {}
     dataset = RegistrationPairDataset(
         args.dataset, root=args.root, subset=args.subset,
-        point_limit=cfg.test.point_limit,
+        point_limit=cfg.test.point_limit, **extra,
     )
     model, params = build_model_and_params(
         cfg, args.snapshot_dir, args.test_epoch,
@@ -105,6 +108,25 @@ def main():
     timer = Timer()
     timer.tic()
     indices = list(range(args.shard_id, len(dataset), args.num_shards))
+
+    def finalize(pending, n_done):
+        """Host-side fetch + trim + npz write for an already-dispatched pair
+        (runs while the device computes the NEXT pair — jax dispatch is
+        async, so this 1-deep pipeline overlaps host IO with compute)."""
+        out, metrics, item, trunc0 = pending
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["dropped"] += trunc0
+        board.update_from_dict(metrics)
+        dumped = trim_outputs(out, item["transform"])
+        name = f"{item['seq_id']}_{item['src_frame']}_{item['ref_frame']}"
+        np.savez_compressed(osp.join(feature_dir, name + ".npz"), **dumped)
+        print(
+            f"[{n_done}/{len(indices)}] {name} | "
+            + ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
+            + f" | prep {timer.prepare_time():.3f}s proc {timer.process_time():.3f}s"
+        )
+
+    pending = None
     for n_done, i in enumerate(indices):
         item = dataset[i]
         rp, rc, sp, sc = pad_pair_np(cfg, item["ref_points"], item["src_points"])
@@ -112,19 +134,12 @@ def main():
                   + max(0, len(item["src_points"]) - len(sp)))
         timer.record_prepare()
         out, metrics = forward(params, rp, rc, sp, sc, item["transform"])
-        metrics["dropped"] = metrics["dropped"] + trunc0
-        jax.block_until_ready(out["estimated_transform"])
         timer.record_process()
-        board.update_from_dict(metrics)
-
-        dumped = trim_outputs(out, item["transform"])
-        name = f"{item['seq_id']}_{item['src_frame']}_{item['ref_frame']}"
-        np.savez_compressed(osp.join(feature_dir, name + ".npz"), **dumped)
-        print(
-            f"[{n_done + 1}/{len(indices)}] {name} | "
-            + ", ".join(f"{k}: {float(v):.4f}" for k, v in metrics.items())
-            + f" | prep {timer.prepare_time():.3f}s proc {timer.process_time():.3f}s"
-        )
+        if pending is not None:
+            finalize(pending, n_done)
+        pending = (out, metrics, item, trunc0)
+    if pending is not None:
+        finalize(pending, len(indices))
 
     print("== summary ==")
     print(board.format())
