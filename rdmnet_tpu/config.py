@@ -111,6 +111,12 @@ class BackboneConfig:
     input_dim: int = 1
     init_dim: int = 64
     output_dim: int = 256
+    # Input features are the all-ones LiDAR convention (reference
+    # kitti/dataset.py:188-189): the first ConvBlock's gathered neighbor
+    # features then EQUAL the neighbor-validity indicator, which is pure
+    # index arithmetic — the (N, H, 1) feature gather is skipped. Set False
+    # if feeding real input features.
+    ones_input: bool = True
     # Share the geometric kernel-influence tensor across same-level blocks.
     # Valid when every KPConv layer uses the SAME kernel disposition (our
     # fresh-training default: the canonical deterministic kernel). Set False

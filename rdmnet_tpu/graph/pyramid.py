@@ -56,6 +56,13 @@ class CloudPyramid:
         cap = self.points[level].shape[0]
         return jnp.arange(cap, dtype=jnp.int32) < self.counts[level]
 
+    def index_valid(self, level: int, idx: jnp.ndarray) -> jnp.ndarray:
+        """Whether index-table entries point at VALID rows of ``level`` —
+        pure arithmetic (pads sort last; sentinel == cap >= count), no
+        gather. Lets consumers of all-ones input features skip the feature
+        gather entirely (nn/backbone.py ones_input fast path)."""
+        return idx < self.counts[level]
+
 
 @struct.dataclass
 class PairBatch:
@@ -90,6 +97,7 @@ class StackedGraph:
     neighbors: Tuple[jnp.ndarray, ...]
     subsampling: Tuple[jnp.ndarray, ...]
     upsampling: Tuple[jnp.ndarray, ...]
+    counts: Tuple[jnp.ndarray, ...]       # level i: (2,) int32 [ref, src]
 
     @property
     def num_stages(self) -> int:
@@ -97,6 +105,15 @@ class StackedGraph:
 
     def mask(self, level: int) -> jnp.ndarray:
         return self.masks[level]
+
+    def index_valid(self, level: int, idx: jnp.ndarray) -> jnp.ndarray:
+        """Arithmetic validity of stacked index-table entries (see
+        CloudPyramid.index_valid): valid rows are [0, count_ref) in the ref
+        half and [cap, cap + count_src) in the src half; the sentinel
+        2*cap fails both tests."""
+        cap = self.points[level].shape[0] // 2
+        cnt = self.counts[level]
+        return jnp.where(idx < cap, idx < cnt[0], idx - cap < cnt[1])
 
 
 def stack_pair_graph(ref: CloudPyramid, src: CloudPyramid) -> StackedGraph:
@@ -142,6 +159,9 @@ def stack_pair_graph(ref: CloudPyramid, src: CloudPyramid) -> StackedGraph:
         neighbors=neighbors,
         subsampling=subsampling,
         upsampling=upsampling,
+        counts=tuple(
+            jnp.stack([ref.counts[i], src.counts[i]]) for i in range(ns)
+        ),
     )
 
 

@@ -60,9 +60,16 @@ class Encoder(nn.Module):
             )
 
         infl0 = self_influence(0, r, s)
+        nbr_feats0 = None
+        if c.ones_input and c.input_dim == 1 and hasattr(pyr, "index_valid"):
+            # ones-input fast path: the gathered level-0 features equal the
+            # neighbor-validity indicator — index arithmetic instead of a
+            # (N, H, 1) gather (exact same values, golden-parity safe)
+            nbr_feats0 = pyr.index_valid(0, nbrs[0])[..., None].astype(self.dtype)
         x = ConvBlock(c.input_dim, d, ks, r, s, gn, dtype=self.dtype,
                       name="encoder1_1")(
-            feats, pts[0], pts[0], nbrs[0], masks[0], influence=infl0
+            feats, pts[0], pts[0], nbrs[0], masks[0], influence=infl0,
+            nbr_feats=nbr_feats0,
         )
         x = ResidualBlock(d, d * 2, ks, r, s, gn, dtype=self.dtype,
                           name="encoder1_2")(

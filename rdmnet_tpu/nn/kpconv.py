@@ -106,7 +106,10 @@ class KPConv(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices,
-                 influence=None):
+                 influence=None, nbr_feats=None):
+        """``nbr_feats`` overrides the gathered (M, H, Cin) neighbor
+        features — used by the ones-input fast path (the gathered values
+        are the validity indicator, computable without the gather)."""
         k = self.kernel_size
         weights = self.param(
             "weights",
@@ -134,7 +137,8 @@ class KPConv(nn.Module):
                 q_points, s_points, neighbor_indices, kernel_points, self.sigma
             )
 
-        nbr_feats = gather_neighbors(s_feats, neighbor_indices, fill=0.0)  # (M, H, C)
+        if nbr_feats is None:
+            nbr_feats = gather_neighbors(s_feats, neighbor_indices, fill=0.0)  # (M, H, C)
         # (M, K, H) @ (M, H, C) -> (M, K, C); MXU in compute dtype, f32 accum
         weighted = jnp.einsum(
             "mhk,mhc->mkc",
@@ -241,7 +245,7 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask,
-                 influence=None):
+                 influence=None, nbr_feats=None):
         x = KPConv(
             self.in_channels,
             self.out_channels,
@@ -250,7 +254,8 @@ class ConvBlock(nn.Module):
             self.sigma,
             dtype=self.dtype,
             name="KPConv",
-        )(s_feats, q_points, s_points, neighbor_indices, influence=influence)
+        )(s_feats, q_points, s_points, neighbor_indices, influence=influence,
+          nbr_feats=nbr_feats)
         x = MaskedGroupNorm(self.group_norm, self.out_channels, dtype=self.dtype,
                             name="norm")(x, q_mask)
         return nn.leaky_relu(x, 0.1)
