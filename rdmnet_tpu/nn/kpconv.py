@@ -81,6 +81,14 @@ def kpconv_influence(
     return jnp.maximum(1.0 - jnp.sqrt(sq_dist) / sigma, 0.0)
 
 
+# Measured negative result (do not re-attempt blindly): fusing the points
+# gather and/or the strided-shortcut gather into the feature gather via a
+# concatenated [points | feats] array REGRESSED the pipeline 3-11%
+# (11.4 -> 10.2-11.1 pairs/s). XLA row gathers are fixed-cost per row, but
+# the jnp.concatenate materializes a fresh lane-padded copy of the support
+# array whose write+read traffic exceeds the saved gather pass.
+
+
 def global_avgpool(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Masked global average over a padded cloud (reference
     functional.py:70-90 loops per batch element; here one masked mean)."""

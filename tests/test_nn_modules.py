@@ -246,3 +246,34 @@ class TestLGR:
         w = np.asarray(corr.scores).reshape(p, 2 * k)
         assert w[2:].sum() == 0
         np.testing.assert_allclose(np.asarray(est), tf, atol=1e-3)
+
+
+class TestFusedGatherEquivalence:
+    def test_encoder_fused_matches_unfused(self, rng):
+        """shared_influence=True (one influence tensor per level, canonical
+        kernels) must equal shared_influence=False (each KPConv computes
+        influence from its own kernel_points param) — at init every layer
+        holds the canonical disposition, so the two modes are the same
+        function."""
+        import dataclasses
+
+        from rdmnet_tpu.config import make_tiny_cfg
+        from rdmnet_tpu.graph.pyramid import build_pair_batch, pad_cloud, stack_pair_graph
+        from rdmnet_tpu.nn.backbone import Encoder
+
+        cfg = make_tiny_cfg()
+        pts = (rng.rand(300, 3) * 20).astype(np.float32)
+        rp, rc = pad_cloud(jnp.asarray(pts), cfg.pyramid.caps[0])
+        batch = build_pair_batch(rp, rc, rp, rc, jnp.eye(4), cfg.pyramid)
+        graph = stack_pair_graph(batch.ref, batch.src)
+        feats = jnp.concatenate([batch.ref_feats, batch.src_feats], axis=0)
+
+        outs = {}
+        for shared in (True, False):
+            bb = dataclasses.replace(cfg.backbone, shared_influence=shared)
+            enc = Encoder(bb, dtype=jnp.float32)
+            params = enc.init(jax.random.PRNGKey(0), feats, graph)
+            outs[shared] = enc.apply(params, feats, graph)
+        for a, b in zip(outs[True], outs[False]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
