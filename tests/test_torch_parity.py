@@ -414,3 +414,112 @@ class TestProcrustes:
             )
         )
         np.testing.assert_allclose(j_tf, t_tf, rtol=1e-3, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# GT node correspondences + vote mask + coarse matching
+# (reference geotransformer/modules/registration/matching.py:252-504,
+#  geotransformer/modules/geotransformer/superpoint_matching.py:7-83)
+# --------------------------------------------------------------------------
+
+
+class TestGtCorrespondenceParity:
+    def _patches(self, rng, m, n, k):
+        from tests.test_ops_core import random_transform
+
+        tf = random_transform(rng, max_angle=0.6, max_trans=2.0)
+        inv = np.linalg.inv(tf)
+        ref_nodes = (rng.rand(m, 3) * 12).astype(np.float32)
+        src_nodes = np.empty((n, 3), np.float32)
+        half = n // 2
+        src_nodes[:half] = (ref_nodes[:half] + rng.randn(half, 3) * 0.3) @ inv[:3, :3].T + inv[:3, 3]
+        src_nodes[half:] = ((rng.rand(n - half, 3) * 12) @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+        ref_knn = ref_nodes[:, None] + rng.randn(m, k, 3).astype(np.float32) * 0.5
+        src_knn = src_nodes[:, None] + rng.randn(n, k, 3).astype(np.float32) * 0.5
+        ref_km = rng.rand(m, k) < 0.9
+        src_km = rng.rand(n, k) < 0.9
+        ref_km[:, 0] = True
+        src_km[:, 0] = True
+        return tf, ref_nodes, src_nodes, ref_knn, src_knn, ref_km, src_km
+
+    def test_node_overlap_parity(self, rng):
+        """Dense overlap matrix == the reference's sparse (indices,
+        overlaps) output of get_node_correspondences on the same patches."""
+        from geotransformer.modules.registration.matching import (
+            get_node_correspondences,
+        )
+
+        from rdmnet_tpu.ops.correspondences import node_correspondence_overlaps
+
+        m, n, k = 24, 20, 10
+        tf, rn, sn, rk, sk, rkm, skm = self._patches(rng, m, n, k)
+        radius = 0.6
+        idx, ov = get_node_correspondences(
+            torch.from_numpy(rn), torch.from_numpy(sn),
+            torch.from_numpy(rk), torch.from_numpy(sk),
+            torch.from_numpy(tf), radius,
+            ref_knn_masks=torch.from_numpy(rkm),
+            src_knn_masks=torch.from_numpy(skm),
+        )
+        want = np.zeros((m, n), np.float32)
+        want[idx[:, 0].numpy(), idx[:, 1].numpy()] = ov.numpy()
+
+        got = np.asarray(node_correspondence_overlaps(
+            jnp.asarray(rn), jnp.asarray(sn), jnp.asarray(rk), jnp.asarray(sk),
+            jnp.asarray(tf), radius,
+            jnp.ones((m,), bool), jnp.ones((n,), bool),
+            jnp.asarray(rkm), jnp.asarray(skm),
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_vote_mask_parity(self, rng):
+        """mutual_nearest_node_masks == get_node_correspondences_disance."""
+        from geotransformer.modules.registration.matching import (
+            get_node_correspondences_disance,
+        )
+
+        from rdmnet_tpu.ops.correspondences import mutual_nearest_node_masks
+
+        m, n, k = 30, 26, 8
+        tf, rn, sn, _, _, _, _ = self._patches(rng, m, n, k)
+        radius = 1.2  # reference compares squared dist vs unsquared radius
+        want = get_node_correspondences_disance(
+            torch.from_numpy(rn), torch.from_numpy(sn),
+            torch.from_numpy(tf), radius,
+        ).numpy()
+        got = np.asarray(mutual_nearest_node_masks(
+            jnp.asarray(rn), jnp.asarray(sn), jnp.asarray(tf), radius,
+            jnp.ones((m,), bool), jnp.ones((n,), bool),
+        ))
+        np.testing.assert_array_equal(got, want)
+
+    def test_superpoint_matching_parity(self, rng):
+        """Top-k dual-normalized coarse matching == reference
+        SuperPointMatching on the same features (sets + scores)."""
+        from geotransformer.modules.geotransformer.superpoint_matching import (
+            SuperPointMatching,
+        )
+
+        from rdmnet_tpu.nn.matching import superpoint_matching
+
+        m, n, c, topk = 40, 36, 16, 24
+        rf = rng.randn(m, c).astype(np.float32)
+        rf /= np.linalg.norm(rf, axis=1, keepdims=True)
+        sf = rng.randn(n, c).astype(np.float32)
+        sf /= np.linalg.norm(sf, axis=1, keepdims=True)
+
+        tm = SuperPointMatching(topk, dual_normalization=True)
+        t_ref, t_src, t_scores = tm(torch.from_numpy(rf), torch.from_numpy(sf))
+
+        j_ref, j_src, j_scores, valid = superpoint_matching(
+            jnp.asarray(rf), jnp.asarray(sf),
+            jnp.ones((m,), bool), jnp.ones((n,), bool),
+            num_correspondences=topk, dual_normalization=True, exact=True,
+        )
+        assert bool(np.asarray(valid).all())
+        want = {(int(a), int(b)) for a, b in zip(t_ref.numpy(), t_src.numpy())}
+        got = {(int(a), int(b)) for a, b in zip(np.asarray(j_ref), np.asarray(j_src))}
+        assert got == want
+        np.testing.assert_allclose(
+            np.sort(np.asarray(j_scores)), np.sort(t_scores.numpy()), rtol=1e-4
+        )
