@@ -84,7 +84,7 @@ def teaser_np(src, ref):
         ) from e
     params = teaserpp_python.RobustRegistrationSolver.Params()
     params.cbar2 = 1.0
-    params.noise_bound = 0.3
+    params.noise_bound = 0.01  # reference eval.py:201
     params.estimate_scaling = False
     params.rotation_estimation_algorithm = (
         teaserpp_python.RobustRegistrationSolver.ROTATION_ESTIMATION_ALGORITHM.GNC_TLS
@@ -98,6 +98,7 @@ def teaser_np(src, ref):
     tf = np.eye(4)
     tf[:3, :3] = sol.rotation
     tf[:3, 3] = sol.translation
+    return tf
     return tf
 
 
@@ -155,7 +156,7 @@ def main():
         for tier, thr in [(">0", 0.0), (">=0.1", 0.1), (">=0.3", 0.3), (">=0.5", 0.5)]:
             coarse_meter.update(
                 f"PMR{tier}",
-                float(c["precision"] > thr if thr > 0 else c["precision"] > 0),
+                float(c["precision"] > thr),
             )
 
         # fine metrics

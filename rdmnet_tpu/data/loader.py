@@ -68,7 +68,8 @@ class PairLoader:
         self.prefetch = prefetch
 
     def __len__(self):
-        n = len(self.dataset) // self.num_hosts
+        # every host yields the SAME count (padded sharding, see _indices)
+        n = -(-len(self.dataset) // self.num_hosts)
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -77,7 +78,14 @@ class PairLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
-        # per-host shard (contiguous strided, like DistributedSampler)
+        # per-host strided shard, PADDED so every host gets the same number
+        # of items (torch DistributedSampler semantics): an unequal split
+        # would have some hosts dispatch one extra jitted step whose
+        # cross-host collectives never match on the others — deadlock
+        per_host = -(-len(idx) // self.num_hosts)
+        total = per_host * self.num_hosts
+        if total > len(idx):
+            idx = np.concatenate([idx, idx[: total - len(idx)]])
         return idx[self.host_id :: self.num_hosts]
 
     def _make_batch(self, items):
@@ -116,10 +124,21 @@ class PairLoader:
         for b in range(nb):
             chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
             items = [self.dataset[int(i)] for i in chunk]
-            # repeat last item to fill a ragged tail batch (masked identically)
+            # repeat last item to fill a ragged tail batch; batch_valid marks
+            # the repeats so metric aggregation can exclude them
+            n_real = len(items)
             while len(items) < self.batch_size:
                 items.append(items[-1])
-            yield self._make_batch(items)
+            batch = self._make_batch(items)
+            batch["batch_valid"] = (
+                np.arange(self.batch_size) < n_real
+            )
+            yield batch
+
+    def peek(self) -> dict:
+        """First batch, loaded synchronously (no prefetch thread) — for
+        shape/compile probes that will not consume the full iterator."""
+        return next(self._iter_sync())
 
     def __iter__(self) -> Iterator[dict]:
         if self.prefetch <= 0:
@@ -132,6 +151,10 @@ class PairLoader:
             try:
                 for batch in self._iter_sync():
                     q.put(batch)
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                # surface dataset/IO failures to the training loop instead of
+                # silently truncating the epoch
+                q.put(e)
             finally:
                 q.put(sentinel)
 
@@ -141,4 +164,6 @@ class PairLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -4,9 +4,6 @@ the RDMNet CLIs but part of the engine surface)."""
 
 from __future__ import annotations
 
-import itertools
-from typing import Optional
-
 import jax
 
 from rdmnet_tpu.config import Config

@@ -171,7 +171,10 @@ def make_eval_step(cfg: Config, with_transform: bool = True) -> Callable:
         return metrics, out["estimated_transform"]
 
     @jax.jit
-    def eval_step(state: TrainState, batch: PairBatch):
+    def eval_step(state: TrainState, batch: PairBatch, valid=None):
+        """``valid``: optional (B,) bool excluding ragged-tail repeats (the
+        loader duplicates the last pair to fill a fixed batch; unweighted
+        means would double-count it)."""
         bsz = batch.transform.shape[0]
         if bsz == 1:
             # unbatched fast path — XLA:TPU's windowed top-k emitter aborts
@@ -183,6 +186,13 @@ def make_eval_step(cfg: Config, with_transform: bool = True) -> Callable:
         metrics, transforms = jax.vmap(
             functools.partial(single, state.params, state.apply_fn)
         )(batch)
-        return jax.tree.map(jnp.mean, metrics), transforms
+        if valid is None:
+            return jax.tree.map(jnp.mean, metrics), transforms
+        w = valid.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        return (
+            jax.tree.map(lambda m: jnp.sum(m * w) / denom, metrics),
+            transforms,
+        )
 
     return eval_step

@@ -31,14 +31,26 @@ from rdmnet_tpu.graph.pyramid import build_pair_batch
 from rdmnet_tpu.parallel import make_mesh, replicate_to_mesh, shard_batch
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_builder(spec):
+    """One compiled vmapped pyramid builder per (hashable) PyramidConfig —
+    rebuilding jax.jit(vmap(...)) per call would miss the jit cache every
+    time and retrace every training step (measured: 1 retrace per call)."""
+    return jax.jit(
+        jax.vmap(
+            lambda rp, rc, sp, sc, tf, rd, sd: build_pair_batch(
+                rp, rc, sp, sc, tf, spec, ref_dropped0=rd, src_dropped0=sd
+            )
+        )
+    )
+
+
 def batch_to_device(np_batch, spec, mesh=None):
     """Host numpy batch -> batched PairBatch (pyramid built on device, vmapped)."""
     bsz = len(np_batch["ref_points"])
-    build = jax.vmap(
-        lambda rp, rc, sp, sc, tf, rd, sd: build_pair_batch(
-            rp, rc, sp, sc, tf, spec, ref_dropped0=rd, src_dropped0=sd
-        )
-    )
     args = (
         jnp.asarray(np_batch["ref_points"]),
         jnp.asarray(np_batch["ref_counts"]),
@@ -48,7 +60,7 @@ def batch_to_device(np_batch, spec, mesh=None):
         jnp.asarray(np_batch.get("ref_dropped", np.zeros(bsz, np.int32))),
         jnp.asarray(np_batch.get("src_dropped", np.zeros(bsz, np.int32))),
     )
-    batch = jax.jit(build)(*args)
+    batch = _jitted_builder(spec)(*args)
     if mesh is not None:
         batch = shard_batch(batch, mesh)
     return batch
@@ -77,8 +89,10 @@ class Trainer:
         self.mesh = make_mesh(cfg.parallel.dp) if jax.device_count() > 1 else None
         dp = self.mesh.devices.size if self.mesh is not None else 1
 
-        # init from one example batch
-        example = next(iter(train_loader))
+        # init from one example batch — peek() loads it synchronously;
+        # next(iter(loader)) would abandon a prefetching iterator and leak
+        # its blocked worker thread + queued batches
+        example = train_loader.peek()
         device_batch = batch_to_device(example, cfg.pyramid)
         single = jax.tree.map(lambda x: x[0], device_batch)
         self.state = create_train_state(
@@ -127,7 +141,11 @@ class Trainer:
         board = SummaryBoard()
         for np_batch in self.val_loader:
             batch = batch_to_device(np_batch, self.cfg.pyramid, self.mesh)
-            metrics, _ = self.eval_step(self.state, batch)
+            valid = np_batch.get("batch_valid")
+            metrics, _ = self.eval_step(
+                self.state, batch,
+                None if valid is None else jnp.asarray(valid),
+            )
             board.update_from_dict(metrics)
         summary = board.summary()
         self.logger.info(f"val epoch {self.epoch} | {board.format()}")

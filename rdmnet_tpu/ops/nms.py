@@ -29,9 +29,15 @@ def greedy_nms(
       radius: suppression radius.
 
     Returns:
-      keep: (M,) bool — True for surviving valid nodes. Exactly matches the
-      reference's sequential semantics (vote.py:36-39) including order
-      dependence.
+      keep: (M,) bool — True for surviving valid nodes. Matches the
+      reference's sequential greedy semantics (vote.py:36-39) including
+      order dependence, over the FULL radius adjacency. Known divergence:
+      the reference sees its adjacency through radius_search, which truncates
+      each node to the calibrated neighbor limit — a node in a cluster
+      denser than that limit can escape suppression there while this exact
+      adjacency suppresses it. The golden end-to-end test observes identical
+      survivor sets on real scans; the difference can only appear in
+      clusters exceeding the reference's neighbor limit.
     """
     m = nodes.shape[0]
     sq = pairwise_sq_dist(nodes, nodes)

@@ -62,7 +62,11 @@ def compute_inlier_ratio(ref_corr, src_corr, transform, positive_radius=0.1) -> 
 
 
 def compute_overlap(ref_points, src_points, transform, positive_radius=0.1) -> float:
-    """Fraction of points with a partner within radius (symmetric mean)."""
+    """Fraction of points with a partner within radius (symmetric mean).
+    Empty point sets contribute 0 (np.mean of an empty array would be NaN
+    and poison the whole eval run's aggregate)."""
+    if len(ref_points) == 0 or len(src_points) == 0:
+        return 0.0
     src_t = apply_transform(src_points, transform)
 
     def one_side(a, b):

@@ -156,6 +156,39 @@ class TestLoader:
         assert set(f0).isdisjoint(set(f1))
         assert len(f0) + len(f1) == 6
 
+    def test_host_sharding_pads_to_equal_counts(self, kitti_root):
+        """With hosts not dividing the dataset, every host must still yield
+        the SAME number of batches (padded like DistributedSampler) — an
+        unequal split would deadlock cross-host collectives."""
+        ds = RegistrationPairDataset("kitti", kitti_root, "train")  # 6 pairs
+        loaders = [
+            PairLoader(ds, cap=256, batch_size=1, num_hosts=4, host_id=h, prefetch=0)
+            for h in range(4)
+        ]
+        counts = [len(list(l)) for l in loaders]
+        assert len(set(counts)) == 1, counts
+        assert counts[0] == len(loaders[0])
+
+    def test_ragged_tail_marks_batch_valid(self, kitti_root):
+        ds = RegistrationPairDataset("kitti", kitti_root, "train")  # 6 pairs
+        loader = PairLoader(ds, cap=256, batch_size=4, prefetch=0)
+        batches = list(loader)
+        assert batches[0]["batch_valid"].tolist() == [True] * 4
+        # 6 % 4 = 2 real items in the tail batch; repeats flagged invalid
+        assert batches[-1]["batch_valid"].tolist() == [True, True, False, False]
+
+    def test_prefetch_propagates_worker_errors(self, kitti_root):
+        class Boom(RegistrationPairDataset):
+            def __getitem__(self, i):
+                if i >= 2:
+                    raise RuntimeError("corrupt scan")
+                return super().__getitem__(i)
+
+        ds = Boom("kitti", kitti_root, "train")
+        loader = PairLoader(ds, cap=256, batch_size=1, prefetch=2)
+        with pytest.raises(RuntimeError, match="corrupt scan"):
+            list(loader)
+
     def test_prefetch_matches_sync(self, kitti_root):
         ds = RegistrationPairDataset("kitti", kitti_root, "train")
         sync = list(PairLoader(ds, cap=256, batch_size=2, prefetch=0))
