@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import argparse
 
-from rdmnet_tpu.data.preprocess import downsample_sequence, generate_pairs_for_sequence
+from rdmnet_tpu.data.preprocess import generate_pairs_for_sequence
 
 
 def main():

@@ -196,23 +196,6 @@ class DatasetAdapter:
         raise ValueError(self.dataset)
 
 
-def downsample_sequence(
-    root: str, seq_id: str, voxel_size: float = 0.3, out_root: Optional[str] = None
-) -> int:
-    """Downsample every velodyne .bin of a sequence to downsampled_xyzi npys
-    (reference downsample_pcd_kitti.py:11-40)."""
-    out_root = out_root or root
-    files = sorted(glob.glob(osp.join(root, "sequences", seq_id, "velodyne", "*.bin")))
-    out_dir = osp.join(out_root, "downsampled_xyzi", seq_id)
-    os.makedirs(out_dir, exist_ok=True)
-    for fname in files:
-        frame = osp.splitext(osp.basename(fname))[0]
-        points = np.fromfile(fname, dtype=np.float32).reshape(-1, 4)
-        xyzi = voxel_downsample_xyzi(points, voxel_size)
-        np.save(osp.join(out_dir, frame + ".npy"), xyzi)
-    return len(files)
-
-
 def downsample_dataset_sequence(
     dataset: str, root: str, seq, voxel_size: float = 0.3,
     out_root: Optional[str] = None, keep_intensity: bool = True,
@@ -282,7 +265,13 @@ def generate_pairs_for_sequence(
 
     ts = poses[:, :3, 3]
     lines = []
-    curr = inames[0]
+    # pose files can be sparse (KITTI-360 cam0_to_world has gaps and may
+    # start after the first raw scan): begin at the first scan WITH a pose
+    if row_of_frame is not None:
+        posed = [f for f in inames if f in row_of_frame]
+        curr = posed[0] if posed else -1
+    else:
+        curr = inames[0]
     while curr in iname_set:
         row = row_of_frame[curr] if row_of_frame is not None else curr
         # next frame more than `thres` meters away within the next 100 rows
@@ -300,11 +289,18 @@ def generate_pairs_for_sequence(
                 break
             continue
 
-        # GT pose in velodyne frame: M = (velo2cam @ P0^T @ inv(P1^T) @ inv(velo2cam))^T
+        # GT pose mapping scan0 (curr) velodyne coords into scan1 (nxt)
+        # velodyne coords: x_v1 = inv(V) inv(P1) P0 V x_v0 with V = velo2cam
+        # and P = pose-frame->world poses. This is the reference's
+        # M = (velo2cam @ P0^T @ inv(P1^T) @ inv(velo2cam))^T with its
+        # TRANSPOSED velo2cam convention unfolded into plain matrices
+        # (reference generate_kitti_pairs.py:56-70 builds velo2cam as
+        # vstack(Tr).T; using the untransposed matrix in that formula
+        # produces a non-rigid 4x4 for any non-identity calibration).
         m = (
-            velo2cam @ pose_of(curr).T @ np.linalg.inv(pose_of(nxt).T)
-            @ np.linalg.inv(velo2cam)
-        ).T
+            np.linalg.inv(velo2cam) @ np.linalg.inv(pose_of(nxt))
+            @ pose_of(curr) @ velo2cam
+        )
 
         xyz0 = np.fromfile(adapter.scan_path(seq, curr), dtype=np.float32).reshape(-1, 4)[:, :3]
         xyz1 = np.fromfile(adapter.scan_path(seq, nxt), dtype=np.float32).reshape(-1, 4)[:, :3]

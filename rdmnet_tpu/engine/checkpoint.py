@@ -23,11 +23,12 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: Any, metadata: Optional[dict] = None):
+        # always write the metadata item: restore() unconditionally requests
+        # it, so omitting it for metadata=None would make such snapshots
+        # unrestorable (orbax errors on missing Composite items)
         args = ocp.args.Composite(
             state=ocp.args.StandardSave(state),
-            **(
-                {"metadata": ocp.args.JsonSave(metadata)} if metadata else {}
-            ),
+            metadata=ocp.args.JsonSave(metadata or {}),
         )
         self._mgr.save(step, args=args)
         self._mgr.wait_until_finished()

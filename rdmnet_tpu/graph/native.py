@@ -144,10 +144,14 @@ def build_pyramid_native(points: np.ndarray, spec, pad_coord: float = 1.0e9):
             subsampling.append(sub)
             k_up = spec.neighbor_limits[lvl + 1]
             up = np.full((spec.caps[lvl], k_up), spec.caps[lvl + 1], np.int32)
-            up[: counts[lvl]] = radius_knn_native(
-                level_points[lvl][: counts[lvl]], level_points[lvl + 1],
-                counts[lvl + 1], radius * 2, k_up, sentinel=spec.caps[lvl + 1],
-            )
+            if lvl >= spec.build_upsampling_from_level:
+                up[: counts[lvl]] = radius_knn_native(
+                    level_points[lvl][: counts[lvl]], level_points[lvl + 1],
+                    counts[lvl + 1], radius * 2, k_up, sentinel=spec.caps[lvl + 1],
+                )
+            # else: all-sentinel placeholder, matching the device builder's
+            # unconsumed-table skip (pyramid.py build_upsampling_from_level)
+            # — this is also the single most expensive host search
             upsampling.append(up)
         radius *= 2
 

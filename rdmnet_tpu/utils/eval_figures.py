@@ -45,14 +45,16 @@ def umeyama_alignment(
 def compose_trajectory(rel_poses: Sequence[np.ndarray]) -> np.ndarray:
     """Chain scan-to-scan relative poses into an absolute trajectory.
 
-    rel_poses[k] maps frame k+1's coordinates into frame k's — the
-    registration output src->ref with ref the EARLIER frame (KITTI pair
-    convention), so A_{k+1} = A_k @ rel_poses[k]. Returns (N+1, 4, 4)
-    absolute poses with identity at the start.
+    Pair convention (data/datasets.py GT schema + data/preprocess.py
+    writing "anc=curr pos=nxt"): src = frame k (EARLIER), ref = frame k+1
+    (LATER), so rel_poses[k] = src->ref maps frame k's coordinates INTO
+    frame k+1's. With A_k mapping frame-k coordinates to the world
+    (frame-0) frame, A_{k+1} = A_k @ inv(rel_poses[k]). Returns
+    (N+1, 4, 4) absolute poses with identity at the start.
     """
     traj = [np.eye(4)]
     for rel in rel_poses:
-        traj.append(traj[-1] @ np.asarray(rel))
+        traj.append(traj[-1] @ np.linalg.inv(np.asarray(rel)))
     return np.stack(traj)
 
 

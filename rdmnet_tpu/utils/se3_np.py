@@ -33,14 +33,17 @@ def inverse_transform(transform: np.ndarray) -> np.ndarray:
 
 
 def euler_zyx_matrix(az: float, ay: float, ax: float) -> np.ndarray:
-    """Intrinsic z-y-x euler rotation (== scipy Rotation.from_euler('zyx'))."""
+    """EXTRINSIC z-y-x euler rotation == scipy Rotation.from_euler('zyx',
+    [az, ay, ax]) (lowercase = extrinsic in scipy): rotations about the
+    FIXED z, then y, then x axes, i.e. Rx @ Ry @ Rz. The reference samples
+    augmentation rotations exactly this way (pointcloud.py:112-116)."""
     cz, sz = np.cos(az), np.sin(az)
     cy, sy = np.cos(ay), np.sin(ay)
     cx, sx = np.cos(ax), np.sin(ax)
     rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
     ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
     rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
-    return rz @ ry @ rx
+    return rx @ ry @ rz
 
 
 def random_sample_rotation(rng: np.random.RandomState, rotation_factor: float = 1.0) -> np.ndarray:

@@ -44,8 +44,27 @@ class TestTrajectory:
         np.testing.assert_allclose(traj[0], np.eye(4))
         want = np.eye(4)
         for r in rels:
-            want = want @ r
+            want = want @ np.linalg.inv(r)
         np.testing.assert_allclose(traj[-1], want, atol=1e-5)
+
+    def test_compose_recovers_known_vehicle_path(self, rng):
+        """End-to-end direction check with REAL absolute poses: frame k at
+        x = 4k m; rel_k = src->ref = frame k -> frame k+1 coordinates
+        (the pair convention: src earlier, ref later). compose_trajectory
+        must reproduce the x = 0, 4, 8, ... path — feeding identical
+        est/gt can't catch a direction flip, a known pose grid can."""
+        n = 5
+        abs_poses = []
+        for k in range(n + 1):
+            a = np.eye(4)
+            a[:3, 3] = [4.0 * k, 0.0, 0.0]
+            abs_poses.append(a)
+        rels = [
+            np.linalg.inv(abs_poses[k + 1]) @ abs_poses[k] for k in range(n)
+        ]
+        traj = compose_trajectory(rels)
+        for k in range(n + 1):
+            np.testing.assert_allclose(traj[k], abs_poses[k], atol=1e-6)
 
     def test_ate_zero_for_exact_trajectory(self, rng):
         rels = self._random_rel_poses(rng)

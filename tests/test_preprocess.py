@@ -50,27 +50,30 @@ class TestICP:
 
 
 class TestPairGeneration:
-    def _make_kitti(self, tmp_path, rng, num_frames=8, step=4.0):
+    def _make_kitti(self, tmp_path, rng, num_frames=8, step=4.0, velo2cam=None):
         root = tmp_path / "kitti"
         (root / "poses").mkdir(parents=True)
         seq_dir = root / "sequences" / "00"
         (seq_dir / "velodyne").mkdir(parents=True)
-        # forward motion along x (camera z after velo2cam)
-        velo2cam = np.eye(4)
+        if velo2cam is None:
+            velo2cam = np.eye(4)
         poses = []
         base = (rng.rand(8000, 3) * 40 - 20).astype(np.float32)
         for i in range(num_frames):
+            # camera pose i: forward motion along x in the world frame
             world_tf = np.eye(4)
             world_tf[:3, 3] = [step * i, 0, 0]
             poses.append(world_tf[:3].reshape(-1))
-            # scan i = world points expressed in sensor frame i
-            local = apply_transform(base, np.linalg.inv(world_tf)).astype(np.float32)
+            # scan i = world points expressed in the VELODYNE frame:
+            # x_velo = inv(velo2cam) inv(P_i) x_world
+            local = apply_transform(
+                base, np.linalg.inv(velo2cam) @ np.linalg.inv(world_tf)
+            ).astype(np.float32)
             xyzi = np.concatenate([local, np.zeros((len(local), 1), np.float32)], 1)
             xyzi.tofile(seq_dir / "velodyne" / f"{i:06d}.bin")
         np.savetxt(root / "poses" / "00.txt", np.array(poses))
-        (seq_dir / "calib.txt").write_text(
-            "Tr: 1 0 0 0 0 1 0 0 0 0 1 0\n"
-        )
+        tr = " ".join(str(v) for v in velo2cam[:3].reshape(-1))
+        (seq_dir / "calib.txt").write_text(f"Tr: {tr}\n")
         return str(root)
 
     def test_pairs_written_and_consistent(self, tmp_path, rng):
@@ -88,9 +91,52 @@ class TestPairGeneration:
         np.testing.assert_allclose(abs(tf[0, 3]), (j - i) * 4.0, atol=0.2)
         np.testing.assert_allclose(tf[:3, :3], np.eye(3), atol=0.02)
 
+    def test_pairs_with_real_calibration(self, tmp_path, rng):
+        """GT must stay correct with a NON-identity velo2cam: the reference
+        formula operates on a TRANSPOSED calib matrix, and plugging the
+        plain matrix in produced a non-rigid garbage 4x4 (caught only with
+        a real calibration — identity is transpose-invariant)."""
+        from tests.test_ops_core import random_transform
+
+        velo2cam = np.asarray(random_transform(rng, max_angle=0.8, max_trans=1.0),
+                              np.float64)
+        root = self._make_kitti(tmp_path, rng, velo2cam=velo2cam)
+        lines = generate_pairs_for_sequence(root, 0, thres=10.0)
+        assert len(lines) >= 1
+        parts = lines[0].split()
+        i, j = int(parts[0]), int(parts[1])
+        tf = np.eye(4)
+        tf[:3] = np.array([float(x) for x in parts[2:14]]).reshape(3, 4)
+        # rigidity: R orthonormal with det +1
+        r = tf[:3, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-3)
+        assert abs(np.linalg.det(r) - 1.0) < 1e-3
+        # correctness: maps scan i (velodyne frame i) onto scan j's frame —
+        # expected relative motion inv(V) inv(P_j) P_i V
+        p = lambda k: np.array(
+            [[1, 0, 0, 4.0 * k], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]]
+        )
+        want = np.linalg.inv(velo2cam) @ np.linalg.inv(p(j)) @ p(i) @ velo2cam
+        np.testing.assert_allclose(tf, want, atol=0.15)
+
     def test_pose_and_calib_readers(self, tmp_path, rng):
         root = self._make_kitti(tmp_path, rng)
         poses = read_kitti_poses(osp.join(root, "poses", "00.txt"))
         assert poses.shape == (8, 4, 4)
         v2c = read_velo2cam(osp.join(root, "sequences", "00", "calib.txt"))
         np.testing.assert_allclose(v2c, np.eye(4))
+
+
+class TestEulerConvention:
+    def test_matches_scipy_extrinsic_zyx(self, rng):
+        """The reference samples rotations with scipy from_euler('zyx')
+        (lowercase = EXTRINSIC = Rx@Ry@Rz); our closed form must match."""
+        from scipy.spatial.transform import Rotation
+
+        from rdmnet_tpu.utils.se3_np import euler_zyx_matrix
+
+        for _ in range(5):
+            az, ay, ax = rng.rand(3) * 2 * np.pi
+            want = Rotation.from_euler("zyx", [az, ay, ax]).as_matrix()
+            got = euler_zyx_matrix(az, ay, ax)
+            np.testing.assert_allclose(got, want, atol=1e-12)
