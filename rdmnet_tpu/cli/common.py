@@ -36,22 +36,24 @@ def build_model_and_params(
     rng = np.random.RandomState(0)
     pts = (rng.rand(256, 3) * 10).astype(np.float32)
 
+    if snapshot_dir:
+        # a mistyped path must ERROR, not silently evaluate random weights
+        if not os.path.isdir(snapshot_dir):
+            raise FileNotFoundError(f"snapshot_dir not found: {snapshot_dir}")
+        rp, rc = pad_cloud(jnp.asarray(pts), cfg.pyramid.caps[0])
+        example = build_pair_batch(rp, rc, rp, rc, jnp.eye(4), cfg.pyramid)
+        state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed), example)
+        mgr = CheckpointManager(snapshot_dir)
+        state, meta = mgr.restore(state, step=epoch)
+        return model, state.params
+
     @jax.jit
     def _init(key):
         rp, rc = pad_cloud(jnp.asarray(pts), cfg.pyramid.caps[0])
         example = build_pair_batch(rp, rc, rp, rc, jnp.eye(4), cfg.pyramid)
         return model.init(key, example, training=False, with_gt=False)
 
-    params = _init(jax.random.PRNGKey(cfg.seed))
-
-    if snapshot_dir and os.path.isdir(snapshot_dir):
-        rp, rc = pad_cloud(jnp.asarray(pts), cfg.pyramid.caps[0])
-        example = build_pair_batch(rp, rc, rp, rc, jnp.eye(4), cfg.pyramid)
-        state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed), example)
-        mgr = CheckpointManager(snapshot_dir)
-        state, meta = mgr.restore(state, step=epoch)
-        params = state.params
-    return model, params
+    return model, _init(jax.random.PRNGKey(cfg.seed))
 
 
 def pad_pair_np(cfg: Config, ref_points: np.ndarray, src_points: np.ndarray):

@@ -14,6 +14,8 @@ import jax
 def create_logger(log_file: Optional[str] = None, name: str = "rdmnet_tpu") -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG)
+    for h in logger.handlers:
+        h.close()  # don't leak fds of previous FileHandlers
     logger.handlers.clear()
     logger.propagate = False
 

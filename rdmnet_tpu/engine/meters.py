@@ -16,8 +16,10 @@ class AverageMeter:
         self.last_n = last_n
 
     def update(self, value):
+        # float() every element: storing live device arrays would pin
+        # buffers and defer device syncs into sum()/mean()
         if isinstance(value, (list, tuple)):
-            self._records += list(value)
+            self._records += [float(v) for v in value]
         else:
             self._records.append(float(value))
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from rdmnet_tpu.config import PyramidConfig
-from rdmnet_tpu.ops.grid_subsample import grid_subsample
+from rdmnet_tpu.ops.grid_subsample import grid_subsample, voxel_sort_key
 from rdmnet_tpu.ops.radius_search import radius_knn, radius_knn_banded
 
 
@@ -190,23 +190,16 @@ def build_cloud_pyramid(
     # chunk's candidates to a contiguous support band. Point order is an
     # internal detail — every consumer goes through the index tables.
     n0 = points.shape[0]
-    cell0 = spec.sort_cell(0)
     valid0 = jnp.arange(n0, dtype=jnp.int32) < count
-    masked0 = jnp.where(valid0[:, None], points, jnp.inf)
-    anchor = jnp.floor(jnp.min(masked0, axis=0) / cell0) * cell0
-    coords = jnp.floor((points - anchor) / cell0).astype(jnp.int32)
-    key = (
-        (jnp.clip(coords[:, 0], 0, 2047) << 20)
-        | (jnp.clip(coords[:, 1], 0, 1023) << 10)
-        | jnp.clip(coords[:, 2], 0, 1023)
-    )
-    key = jnp.where(valid0, key, jnp.iinfo(jnp.int32).max)
+    key, n_clipped0 = voxel_sort_key(points, valid0, spec.sort_cell(0))
     _, order = jax.lax.sort((key, jnp.arange(n0, dtype=jnp.int32)), num_keys=1)
     points = jnp.take(points, order, axis=0)
 
     pts = [points]
     cnts = [count.astype(jnp.int32)]
-    drops = [jnp.asarray(dropped0, jnp.int32)]
+    # level-0 telemetry: host truncation + out-of-range voxel clips (the
+    # latter break the x-sort monotonicity the banded search assumes)
+    drops = [jnp.asarray(dropped0, jnp.int32) + n_clipped0]
 
     # Voxel subsampling: level i is subsampled at voxel_size * 2^i
     # (reference: utils/data.py:23-29 — the first doubling happens before

@@ -83,7 +83,9 @@ class LearnableLogOptimalTransport(nn.Module):
 
             out = sinkhorn_pallas(
                 padded, log_mu, log_nu, self.num_iterations,
-                interpret=jax.default_backend() == "cpu",
+                # Mosaic lowering exists only on real TPUs; interpret
+                # everywhere else (cpu AND gpu backends)
+                interpret=jax.default_backend() != "tpu",
             )
         else:
             out = log_sinkhorn(padded, log_mu, log_nu, self.num_iterations)

@@ -27,6 +27,43 @@ import jax.numpy as jnp
 
 _PAD_COORD = 1.0e9  # coordinate assigned to padded output slots
 
+# Voxel-key packing: 11/10/10 bits (x/y/z), x primary. cx is clipped to
+# 2046 (not 2047) so the maximum packed key stays strictly below the int32
+# invalid-point sentinel — (2047<<20)|(1023<<10)|1023 would EQUAL
+# iinfo(int32).max and silently delete a valid point in that corner cell.
+_CLIP = (2046, 1023, 1023)
+_INVALID_KEY = jnp.iinfo(jnp.int32).max
+
+
+def voxel_sort_key(points: jnp.ndarray, valid: jnp.ndarray, cell: float):
+    """(N, 3) points -> (key (N,) int32, n_clipped () int32).
+
+    The single source of truth for the x-major voxel ordering that
+    grid_subsample, the level-0 sort (graph/pyramid.py) and the banded
+    radius search all rely on. Grid anchored at floor(min/cell)*cell over
+    valid points (C++ parity). Invalid points get the int32-max key (sort
+    last). ``n_clipped`` counts VALID points whose voxel coordinate fell
+    outside the 2047/1024/1024-cell range and was clipped — those points
+    break the x-monotonicity the banded search assumes, so callers surface
+    the count through the `dropped` telemetry instead of degrading
+    silently (one far outlier can shift the anchor and clip everything).
+    """
+    big = jnp.asarray(jnp.inf, points.dtype)
+    masked = jnp.where(valid[:, None], points, big)
+    anchor = jnp.floor(jnp.min(masked, axis=0) / cell) * cell
+    coords = jnp.floor((points - anchor) / cell).astype(jnp.int32)
+    cx = jnp.clip(coords[:, 0], 0, _CLIP[0])
+    cy = jnp.clip(coords[:, 1], 0, _CLIP[1])
+    cz = jnp.clip(coords[:, 2], 0, _CLIP[2])
+    clipped = (
+        (coords[:, 0] > _CLIP[0])
+        | (coords[:, 1] > _CLIP[1])
+        | (coords[:, 2] > _CLIP[2])
+    ) & valid
+    key = (cx << 20) | (cy << 10) | cz
+    key = jnp.where(valid, key, _INVALID_KEY)
+    return key, jnp.sum(clipped).astype(jnp.int32)
+
 
 def grid_subsample(
     points: jnp.ndarray,
@@ -57,31 +94,17 @@ def grid_subsample(
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < num_valid
 
-    # Anchor grid at floor(min/voxel)*voxel over valid points (C++ parity).
-    big = jnp.asarray(jnp.inf, points.dtype)
-    masked_pts = jnp.where(valid[:, None], points, big)
-    min_corner = jnp.floor(jnp.min(masked_pts, axis=0) / voxel_size) * voxel_size
-
-    coords = jnp.floor((points - min_corner) / voxel_size).astype(jnp.int32)
-
-    # Pack (x, y, z) into ONE int32 sort key: 11/10/10 bits (x gets 11) —
-    # spans 2048/1024/1024 voxels per axis, far beyond any LiDAR scene at
-    # these voxel sizes. A single-key 2-operand sort is several times
-    # cheaper on TPU than the 7-operand lexicographic sort it replaces;
-    # key order == (x, y, z) lexicographic order. x is the PRIMARY axis so
-    # the output is monotone in the x voxel coordinate — the invariant the
-    # banded radius search (ops/radius_search.radius_knn_banded) relies on
-    # to restrict each query chunk to a contiguous support band.
-    cx = jnp.clip(coords[:, 0], 0, 2047)
-    cy = jnp.clip(coords[:, 1], 0, 1023)
-    cz = jnp.clip(coords[:, 2], 0, 1023)
-    key = (cx << 20) | (cy << 10) | cz
-    # Push invalid points to a sort-last key so they never share a voxel.
-    key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
+    # Single-int32-key x-major voxel sort (see voxel_sort_key): several
+    # times cheaper on TPU than a 7-operand lexicographic sort, and the
+    # x-primary order is the invariant the banded radius search
+    # (ops/radius_search.radius_knn_banded) relies on to restrict each
+    # query chunk to a contiguous support band. Clipped (out-of-range)
+    # valid points are surfaced through the dropped counter.
+    key, n_clipped = voxel_sort_key(points, valid, voxel_size)
 
     skey, sidx = jax.lax.sort((key, idx), num_keys=1)
     sorted_pts = jnp.take(points, sidx, axis=0)
-    svalid = skey != jnp.iinfo(jnp.int32).max
+    svalid = skey != _INVALID_KEY
 
     # Segment ids: new segment whenever the voxel key changes.
     changed = skey[1:] != skey[:-1]
@@ -106,5 +129,7 @@ def grid_subsample(
     centroids = sums / jnp.maximum(counts, 1.0)[:, None]
     sub_points = jnp.where(out_valid[:, None], centroids, _PAD_COORD)
     if return_dropped:
-        return sub_points, sub_count, jnp.maximum(true_count - cap, 0)
+        # capacity overflow + out-of-range clip (both silently degrade
+        # accuracy if unnoticed; callers surface the sum as telemetry)
+        return sub_points, sub_count, jnp.maximum(true_count - cap, 0) + n_clipped
     return sub_points, sub_count

@@ -322,3 +322,45 @@ class TestGreedyNMS:
         d = np.linalg.norm(kept[:, None] - kept[None], axis=-1)
         np.fill_diagonal(d, 10.0)
         assert d.min() > 1.0
+
+
+class TestVoxelSortKey:
+    def test_clip_telemetry_on_outlier(self, rng):
+        """One far outlier shifts the grid anchor so every real point clips
+        out of the 2047-cell x range — the clip count must surface instead
+        of the scene silently collapsing into one x-slab."""
+        from rdmnet_tpu.ops.grid_subsample import voxel_sort_key
+
+        pts = (rng.rand(100, 3) * 10).astype(np.float32)
+        pts[0] = [-1e5, 0, 0]  # sensor glitch
+        valid = jnp.ones((100,), bool)
+        _, n_clipped = voxel_sort_key(jnp.asarray(pts), valid, 0.3)
+        assert int(n_clipped) >= 99
+
+    def test_no_clip_for_normal_scene(self, rng):
+        from rdmnet_tpu.ops.grid_subsample import voxel_sort_key
+
+        pts = (rng.rand(100, 3) * 100 - 50).astype(np.float32)
+        valid = jnp.arange(100) < 90
+        key, n_clipped = voxel_sort_key(jnp.asarray(pts), valid, 0.5)
+        assert int(n_clipped) == 0
+        k = np.asarray(key)
+        assert (k[:90] < np.iinfo(np.int32).max).all()
+        assert (k[90:] == np.iinfo(np.int32).max).all()
+
+    def test_corner_cell_key_below_sentinel(self):
+        """Max packed key must stay strictly below the invalid sentinel —
+        at the old 2047 cx clip a valid corner-cell point got the sentinel
+        key and vanished without telemetry."""
+        from rdmnet_tpu.ops.grid_subsample import _CLIP
+
+        max_key = (_CLIP[0] << 20) | (_CLIP[1] << 10) | _CLIP[2]
+        assert max_key < np.iinfo(np.int32).max
+
+    def test_grid_subsample_reports_clips_in_dropped(self, rng):
+        pts = (rng.rand(50, 3) * 5).astype(np.float32)
+        pts[0] = [-1e5, 0, 0]
+        _, cnt, dropped = grid_subsample(
+            jnp.asarray(pts), jnp.int32(50), 0.5, cap=64, return_dropped=True
+        )
+        assert int(dropped) >= 49
