@@ -57,11 +57,14 @@ def main():
                 ],
                 env=env,
             ))
-        for p in procs:
-            if p.wait() != 0:
-                # a dead worker leaves its pair shard missing: evaluating
-                # the incomplete dump would silently corrupt the metrics
-                raise RuntimeError(f"test worker failed (rc={p.returncode})")
+        # wait for ALL workers before judging: raising on the first failure
+        # would orphan the survivors mid-write into the shared feature_dir
+        rcs = [p.wait() for p in procs]
+        failed = [(shard, rc) for shard, rc in enumerate(rcs) if rc != 0]
+        if failed:
+            # a dead worker leaves its pair shard missing: evaluating
+            # the incomplete dump would silently corrupt the metrics
+            raise RuntimeError(f"test worker(s) failed (shard, rc): {failed}")
         for method in args.methods:
             print(f"=== epoch {epoch}: eval method={method}")
             subprocess.run(

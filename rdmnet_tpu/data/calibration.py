@@ -67,11 +67,18 @@ def calibrate_neighbor_limits(
         if min(samples) > sample_threshold:
             break
 
-    limits = []
-    for lvl in range(spec.num_stages):
-        allc = np.concatenate(hists[lvl])
-        limits.append(int(np.quantile(allc, keep_ratio, method="lower") + 1))
-    return tuple(limits)
+    return tuple(
+        limit_from_counts(np.concatenate(hists[lvl]), keep_ratio)
+        for lvl in range(spec.num_stages)
+    )
+
+
+def limit_from_counts(counts: np.ndarray, keep_ratio: float) -> int:
+    """Exact reference rule (utils/data.py:217-218): limit = number of
+    count-bins whose cumulative histogram stays strictly below
+    keep_ratio * N == smallest K with #{c <= K} >= keep_ratio * N."""
+    cum = np.cumsum(np.bincount(np.asarray(counts, np.int64)))
+    return int(np.sum(cum < keep_ratio * len(counts)))
 
 
 def calibrate_band_caps(
@@ -95,13 +102,16 @@ def calibrate_band_caps(
     """
     max_band = [0] * spec.num_stages
 
+    from rdmnet_tpu.ops.grid_subsample import voxel_sort_key
     from rdmnet_tpu.ops.radius_search import band_margin
 
     def sort_xmajor(p, cell):
-        anchor = np.floor(p.min(0) / cell) * cell
-        c = np.floor((p - anchor) / cell).astype(np.int64)
-        key = (c[:, 0] << 40) | (c[:, 1] << 20) | c[:, 2]
-        return p[np.argsort(key, kind="stable")]
+        # the runtime's own key (single source of truth, incl. its clip
+        # behavior) so measured band occupancy bounds runtime occupancy
+        key, _ = voxel_sort_key(
+            jnp.asarray(p), jnp.ones(len(p), bool), cell
+        )
+        return p[np.argsort(np.asarray(key), kind="stable")]
 
     def band_max(q, s, s_lvl, r, q_lvl):
         # sort-cell / chunk / margin rules shared with the runtime

@@ -1,17 +1,20 @@
-"""Torch-checkpoint -> flax-params converter (experimental).
+"""Torch-checkpoint -> flax-params converter.
 
 Maps the reference's state_dict key schema (reference experiments/model.py:399
 shows the keys; snapshot layout in engine/base_trainer.py:113-138) onto this
 framework's flax parameter tree, for running the published KITTI weights
-without retraining. The published checkpoint blob is missing from the
-reference mount (.MISSING_LARGE_BLOBS), so this converter is validated only
-structurally for now.
+without retraining. Validated end-to-end: tests/test_golden_e2e.py converts a
+live reference model's state_dict and matches every pipeline stage to ~1e-6
+relative on the bundled demo pair (the published blob itself is missing from
+the reference mount, .MISSING_LARGE_BLOBS).
 
 Conventions handled:
 * torch Linear weight (out, in) -> flax Dense kernel (in, out);
 * torch LayerNorm/GroupNorm weight/bias -> flax scale/bias;
-* KPConv weights (K, Cin, Cout) map 1:1; kernel_points buffer ignored (we
-  regenerate the canonical disposition);
+* KPConv weights (K, Cin, Cout) map 1:1; the kernel_points buffer is
+  restored VERBATIM (the reference randomizes each layer's kernel
+  disposition unseeded at build time — trained weights are only meaningful
+  with the checkpoint's own kernels, see nn/kpconv.py);
 * reference RPEConditionalTransformer ``layers.{2l}``/``layers.{2l+1}``
   (alternating rotary-self / vanilla-cross) -> our ``self_{l}`` /
   ``cross_{l}`` modules;
@@ -59,13 +62,10 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict:
         parts = key.split(".")
 
         # transformer stacks: <name>.transformer.layers.N....
-        m = re.match(r"(transformer2?|.*\.transformer)\.layers\.", key)
         if ".transformer.layers." in key or re.match(r"transformer2?\.layers\.", key):
             head, _, tail = key.partition(".layers.")
             parts = ["layers"] + tail.split(".")
             path = _map_transformer_key(parts, head.split("."))
-        elif parts[-2] == "norm" and parts[-1] in ("weight", "bias") and "KPConv" not in key:
-            path = parts
         else:
             path = parts
 

@@ -523,3 +523,116 @@ class TestGtCorrespondenceParity:
         np.testing.assert_allclose(
             np.sort(np.asarray(j_scores)), np.sort(t_scores.numpy()), rtol=1e-4
         )
+
+
+# --------------------------------------------------------------------------
+# Conditional transformer ablation stacks
+# (reference modules/transformer/conditional_transformer.py:14-70,
+#  pe_transformer.py:15-132)
+# --------------------------------------------------------------------------
+def cond_params_from_torch(sd, blocks, pe=False):
+    """Conditional-stack state_dict (layers.{i}.*) -> our per-type-indexed
+    flax tree (self_0, cross_0, self_1, ... — the torch_convert scheme)."""
+    p = {}
+    counts = {}
+    for i, block in enumerate(blocks):
+        name = f"{block}_{counts.get(block, 0)}"
+        counts[block] = counts.get(block, 0) + 1
+        pre = f"layers.{i}"
+        att = {
+            "proj_q": lin(sd, f"{pre}.attention.attention.proj_q"),
+            "proj_k": lin(sd, f"{pre}.attention.attention.proj_k"),
+            "proj_v": lin(sd, f"{pre}.attention.attention.proj_v"),
+        }
+        if pe and block == "self":
+            att["proj_p"] = lin(sd, f"{pre}.attention.attention.proj_p")
+        p[name] = {
+            "attention": att,
+            "linear": lin(sd, f"{pre}.attention.linear"),
+            "norm": norm(sd, f"{pre}.attention.norm"),
+            "output": {
+                "expand": lin(sd, f"{pre}.output.expand"),
+                "squeeze": lin(sd, f"{pre}.output.squeeze"),
+                "norm": norm(sd, f"{pre}.output.norm"),
+            },
+        }
+    return {"params": p}
+
+
+class TestConditionalTransformerParity:
+    def test_vanilla_parity(self, rng):
+        """Pins the sequential cross-update semantics (feats1's cross sees
+        the UPDATED feats0; conditional_transformer.py:30-36)."""
+        from geotransformer.modules.transformer.conditional_transformer import (
+            VanillaConditionalTransformer as TorchVanilla,
+        )
+
+        from rdmnet_tpu.nn.transformers import VanillaConditionalTransformer
+
+        blocks = ["self", "cross", "self", "cross"]
+        d, h, n, m = 32, 4, 18, 14
+        tm = TorchVanilla(blocks, d, h).eval()
+        rf = rng.randn(n, d).astype(np.float32)
+        sf = rng.randn(m, d).astype(np.float32)
+        with torch.no_grad():
+            t_ref, t_src = tm(torch.from_numpy(rf[None]), torch.from_numpy(sf[None]))
+
+        ours = VanillaConditionalTransformer(tuple(blocks), d, h)
+        params = cond_params_from_torch(tm.state_dict(), blocks)
+        j_ref, j_src = ours.apply(params, jnp.asarray(rf), jnp.asarray(sf))
+        np.testing.assert_allclose(np.asarray(j_ref), t2n(t_ref)[0], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(j_src), t2n(t_src)[0], rtol=1e-4, atol=1e-4)
+
+    def test_pe_parity(self, rng):
+        """proj_p-projected embeddings enter q/k only (pe_transformer.py:58-60)."""
+        from geotransformer.modules.transformer.conditional_transformer import (
+            PEConditionalTransformer as TorchPE,
+        )
+
+        from rdmnet_tpu.nn.transformers import PEConditionalTransformer
+
+        blocks = ["self", "cross", "self", "cross"]
+        d, h, n, m = 32, 4, 18, 14
+        tm = TorchPE(blocks, d, h).eval()
+        rf = rng.randn(n, d).astype(np.float32)
+        sf = rng.randn(m, d).astype(np.float32)
+        re_ = rng.randn(n, d).astype(np.float32)
+        se = rng.randn(m, d).astype(np.float32)
+        with torch.no_grad():
+            t_ref, t_src = tm(
+                torch.from_numpy(rf[None]), torch.from_numpy(sf[None]),
+                torch.from_numpy(re_[None]), torch.from_numpy(se[None]),
+            )
+
+        ours = PEConditionalTransformer(tuple(blocks), d, h)
+        params = cond_params_from_torch(tm.state_dict(), blocks, pe=True)
+        j_ref, j_src = ours.apply(
+            params, jnp.asarray(rf), jnp.asarray(sf), jnp.asarray(re_), jnp.asarray(se)
+        )
+        np.testing.assert_allclose(np.asarray(j_ref), t2n(t_ref)[0], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(j_src), t2n(t_src)[0], rtol=1e-4, atol=1e-4)
+
+
+class TestNeighborLimitRule:
+    def test_matches_reference_cumsum_rule(self, rng):
+        """limit_from_counts == the reference's histogram cumsum rule
+        (utils/data.py:217-218) on arbitrary count distributions."""
+        from rdmnet_tpu.data.calibration import limit_from_counts
+
+        def reference_rule(counts, keep_ratio, hist_n):
+            hist = np.bincount(counts, minlength=hist_n)[:hist_n]
+            cum = np.cumsum(hist)
+            return int(np.sum(cum < keep_ratio * cum[-1]))
+
+        for counts in [
+            np.array([3, 3, 3, 5]),
+            np.array([3, 3, 3, 3, 5]),
+            np.array([30] * 100),
+            rng.randint(0, 50, size=1000),
+            rng.poisson(20, size=777),
+        ]:
+            counts = counts.astype(np.int64)
+            for keep in (0.5, 0.8, 0.9, 1.0):
+                want = reference_rule(counts, keep, int(counts.max()) + 2)
+                got = limit_from_counts(counts, keep)
+                assert got == want, (counts[:8], keep, got, want)
