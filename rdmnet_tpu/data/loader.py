@@ -62,6 +62,7 @@ class PairLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.num_hosts = num_hosts
         self.host_id = host_id
@@ -118,10 +119,10 @@ class PairLoader:
             "metadata": metas,
         }
 
-    def _iter_sync(self) -> Iterator[dict]:
+    def _iter_sync(self, skip_batches: int = 0) -> Iterator[dict]:
         indices = self._indices()
         nb = len(indices) // self.batch_size if self.drop_last else -(-len(indices) // self.batch_size)
-        for b in range(nb):
+        for b in range(skip_batches, nb):
             chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
             items = [self.dataset[int(i)] for i in chunk]
             # repeat last item to fill a ragged tail batch; batch_valid marks
@@ -141,29 +142,52 @@ class PairLoader:
         return next(self._iter_sync())
 
     def __iter__(self) -> Iterator[dict]:
+        return self.iter_from(0)
+
+    def iter_from(self, skip_batches: int = 0) -> Iterator[dict]:
+        """Iterate starting at batch ``skip_batches`` of this pass (the skip
+        is index-level: skipped items are never loaded). Used by
+        CycleLoader to resume an iteration-budget run mid-pass."""
         if self.prefetch <= 0:
-            yield from self._iter_sync()
+            yield from self._iter_sync(skip_batches)
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        # set when the consumer abandons the iterator: the worker's queue
+        # puts would otherwise block forever on the full bounded queue,
+        # leaking the thread plus prefetch+1 pinned batches per epoch
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
-                for batch in self._iter_sync():
-                    q.put(batch)
+                for batch in self._iter_sync(skip_batches):
+                    if not put(batch):
+                        return
             except BaseException as e:  # noqa: BLE001 - re-raised in consumer
                 # surface dataset/IO failures to the training loop instead of
                 # silently truncating the epoch
-                q.put(e)
+                put(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

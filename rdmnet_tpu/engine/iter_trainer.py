@@ -5,6 +5,7 @@ the RDMNet CLIs but part of the engine surface)."""
 from __future__ import annotations
 
 import jax
+import numpy as np
 
 from rdmnet_tpu.config import Config
 from rdmnet_tpu.data.loader import PairLoader
@@ -12,14 +13,30 @@ from rdmnet_tpu.engine.trainer import Trainer, batch_to_device
 
 
 class CycleLoader:
-    """Endlessly cycle a PairLoader (reference iter_based_trainer.py CycleLoader)."""
+    """Endlessly cycle a PairLoader (reference iter_based_trainer.py
+    CycleLoader) with deterministic, resumable shuffling: each pass
+    reseeds the loader with ``seed + pass_index``, and
+    ``start_iteration`` fast-forwards (index-level, no item loads) to
+    the exact batch a preempted run stopped at — instead of replaying
+    the same shuffled prefix after every restart."""
 
-    def __init__(self, loader: PairLoader):
+    def __init__(self, loader: PairLoader, start_iteration: int = 0):
         self.loader = loader
+        n = max(1, len(loader))
+        self.pass_index = start_iteration // n
+        self.skip = start_iteration % n
 
     def __iter__(self):
         while True:
-            yield from self.loader
+            # array seed (init_by_array): adjacent scalar seeds produce
+            # CORRELATED MT19937 streams (seed+0 and seed+1 yield the same
+            # small-N permutation) — the pair decorrelates each pass
+            self.loader.rng = np.random.RandomState(
+                [self.loader.seed, self.pass_index]
+            )
+            yield from self.loader.iter_from(self.skip)
+            self.skip = 0
+            self.pass_index += 1
 
 
 class IterBasedTrainer(Trainer):
@@ -39,9 +56,12 @@ class IterBasedTrainer(Trainer):
             if step is not None:
                 self.state, meta = self.snapshots.restore(self.state, step)
                 self.iteration = int(meta.get("iteration", step))
+                # advance the dropout/target-sampling stream past the
+                # completed iterations instead of replaying it from seed
+                self.key = jax.random.fold_in(self.key, self.iteration)
                 self.logger.info(f"resumed at iteration {self.iteration}")
 
-        stream = iter(CycleLoader(self.train_loader))
+        stream = iter(CycleLoader(self.train_loader, start_iteration=self.iteration))
         while self.iteration < self.max_iterations:
             np_batch = next(stream)
             batch = batch_to_device(np_batch, self.cfg.pyramid, self.mesh)

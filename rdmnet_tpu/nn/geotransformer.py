@@ -52,19 +52,27 @@ class GeometricStructureEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        n = points.shape[0]
-        sq = pairwise_sq_dist(points, points)
+        sq_raw = pairwise_sq_dist(points, points)
+        sq = sq_raw
         if valid is not None:
-            sq = jnp.where(valid[None, :] & valid[:, None], sq, _BIG)
-        dist = jnp.sqrt(sq)
-        d_indices = jnp.sqrt(pairwise_sq_dist(points, points)) / self.sigma_d
+            sq = jnp.where(valid[None, :] & valid[:, None], sq_raw, _BIG)
+        d_indices = jnp.sqrt(sq_raw) / self.sigma_d
 
         # k nearest neighbors excluding self
         k = self.angle_k
-        _, knn_idx = jax.lax.top_k(-sq, k + 1)
-        knn_idx = knn_idx[:, 1:]                                # (N, k)
+        neg_vals, knn_idx = jax.lax.top_k(-sq, k + 1)
+        neg_vals, knn_idx = neg_vals[:, 1:], knn_idx[:, 1:]     # (N, k)
         knn_points = points[knn_idx]                            # (N, k, 3)
         ref_vec = knn_points - points[:, None, :]               # (N, k, 3)
+        # with fewer than k valid neighbors, top_k falls back to masked
+        # pairs whose ~1e9 padded coordinates would leak into every valid
+        # row's angle max-reduction; substitute a unit vector (bounded,
+        # NaN-free angles) for those slots
+        sel_ok = neg_vals > -0.5 * _BIG                         # (N, k)
+        ref_vec = jnp.where(
+            sel_ok[..., None], ref_vec,
+            jnp.asarray([1.0, 0.0, 0.0], points.dtype),
+        )
         anc_vec = points[None, :, :] - points[:, None, :]       # (N, N, 3)
         # angles between anc (N, N) and each of the k ref vectors
         cross = jnp.cross(ref_vec[:, None, :, :], anc_vec[:, :, None, :])

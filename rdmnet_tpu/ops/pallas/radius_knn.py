@@ -46,7 +46,11 @@ def _kernel(q_ref, s_ref, s_sq_ref, svalid_ref, out_idx_ref, vals_ref,
 
     q = q_ref[:]                       # (TQ, 3)
     s = s_ref[:]                       # (BS, 3)
-    qs = jnp.dot(q, s.T, preferred_element_type=jnp.float32)  # (TQ, BS)
+    # HIGHEST: the default bf16 MXU pass flips neighbor orderings near the
+    # radius boundary — this kernel's contract is EXACT top-k (the same
+    # reason ops/radius_search.py pins its distance matmul precision)
+    qs = jnp.dot(q, s.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # (TQ, BS)
     q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
     d = jnp.maximum(q_sq - 2.0 * qs + s_sq_ref[:][None, :], 0.0)
     ok = (d <= radius_sq) & (svalid_ref[:][None, :] > 0)

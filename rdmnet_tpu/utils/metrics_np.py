@@ -37,10 +37,21 @@ def rotation_to_euler_xyz_degrees(rotation: np.ndarray) -> np.ndarray:
     return np.degrees(np.array([x, y, z]))
 
 
+def _wrap_angle_diff_degrees(diff: np.ndarray) -> np.ndarray:
+    """Shortest signed angular difference in degrees.
+
+    Deliberate divergence from the reference (registration.py:57-72,
+    111-117 take plain euler differences): a pair whose decomposed angle
+    crosses the +/-180 boundary (gt yaw 179.9 vs est -179.9 = 0.2 deg
+    apart) would report ~359.8 deg and explode the per-axis aggregates.
+    Headline RRE/RTE/RR never touch this path."""
+    return (np.asarray(diff) + 180.0) % 360.0 - 180.0
+
+
 def compute_relative_rotation_error_rpy(gt_rotation, est_rotation):
     gt = rotation_to_euler_xyz_degrees(gt_rotation)
     est = rotation_to_euler_xyz_degrees(est_rotation)
-    diff = np.abs(gt - est)
+    diff = np.abs(_wrap_angle_diff_degrees(gt - est))
     return float(diff[0]), float(diff[1]), float(diff[2])
 
 
@@ -70,15 +81,19 @@ def compute_overlap(ref_points, src_points, transform, positive_radius=0.1) -> f
     src_t = apply_transform(src_points, transform)
 
     def one_side(a, b):
-        # chunked nn distance (host-side, small inputs)
-        mins = np.empty(len(a))
-        step = 2048
-        for i in range(0, len(a), step):
-            d = np.linalg.norm(a[i : i + step, None] - b[None], axis=-1)
-            mins[i : i + step] = d.min(1)
-        return np.mean(mins < positive_radius)
+        return np.mean(_chunked_nn_dists(a, b) < positive_radius)
 
     return float(0.5 * (one_side(ref_points, src_t) + one_side(src_t, ref_points)))
+
+
+def _chunked_nn_dists(a: np.ndarray, b: np.ndarray, step: int = 2048) -> np.ndarray:
+    """Per-row nearest-neighbor euclidean distance from ``a`` to ``b``
+    (host-side chunked scan; callers guard empty inputs)."""
+    mins = np.empty(len(a))
+    for i in range(0, len(a), step):
+        d = ((a[i : i + step, None] - b[None]) ** 2).sum(-1)
+        mins[i : i + step] = d.min(1)
+    return np.sqrt(mins)
 
 
 def compute_correspondence_residual(ref_corr, src_corr, transform) -> float:
@@ -102,10 +117,12 @@ def evaluate_correspondences(ref_corr, src_corr, transform, positive_radius=0.1)
 
 def compute_rotation_mse_and_mae(gt_rotation, est_rotation):
     """Anisotropic rotation error over euler angles in degrees
-    (reference registration.py:111-117)."""
+    (reference registration.py:111-117; +-180 wraparound fixed here —
+    see _wrap_angle_diff_degrees)."""
     gt = rotation_to_euler_xyz_degrees(gt_rotation)
     est = rotation_to_euler_xyz_degrees(est_rotation)
-    return float(np.mean((gt - est) ** 2)), float(np.mean(np.abs(gt - est)))
+    d = _wrap_angle_diff_degrees(gt - est)
+    return float(np.mean(d ** 2)), float(np.mean(np.abs(d)))
 
 
 def compute_translation_mse_and_mae(gt_translation, est_translation):
@@ -127,15 +144,12 @@ def modified_chamfer_distance(raw_points, ref_points, src_points, gt_transform, 
     """Modified chamfer distance (reference modules/registration/
     metrics.py:8-44): src->raw under est transform + ref->raw under
     composed est.inv(gt)."""
+    if min(len(raw_points), len(ref_points), len(src_points)) == 0:
+        return 0.0
     aligned_src = apply_transform(src_points, transform)
 
     def nn_mean(a, b):
-        mins = np.empty(len(a))
-        step = 2048
-        for i in range(0, len(a), step):
-            d = ((a[i : i + step, None] - b[None]) ** 2).sum(-1)
-            mins[i : i + step] = d.min(1)
-        return float(np.sqrt(mins).mean())
+        return float(_chunked_nn_dists(a, b).mean())
 
     chamfer_p_q = nn_mean(aligned_src, raw_points)
     composed = transform @ np.linalg.inv(gt_transform)

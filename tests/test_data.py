@@ -3,6 +3,8 @@
 import os
 import os.path as osp
 
+import time
+
 import numpy as np
 import pytest
 
@@ -195,6 +197,55 @@ class TestLoader:
         pre = list(PairLoader(ds, cap=256, batch_size=2, prefetch=2))
         assert len(sync) == len(pre)
         np.testing.assert_array_equal(sync[0]["ref_points"], pre[0]["ref_points"])
+
+    def test_prefetch_worker_released_on_abandon(self, kitti_root):
+        """Breaking out of a prefetching iterator must release the worker
+        thread (it would otherwise block forever on the full queue,
+        pinning prefetch+1 batches per abandoned epoch)."""
+        import threading
+
+        ds = RegistrationPairDataset("kitti", kitti_root, "train")
+        loader = PairLoader(ds, cap=256, batch_size=1, prefetch=1)
+        before = threading.active_count()
+        it = iter(loader)
+        next(it)
+        it.close()  # abandon mid-epoch (GeneratorExit -> finally -> stop)
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
+    def test_iter_from_skips_at_index_level(self, kitti_root):
+        ds = RegistrationPairDataset("kitti", kitti_root, "train")
+        full = list(PairLoader(ds, cap=256, batch_size=1, prefetch=0))
+        tail = list(PairLoader(ds, cap=256, batch_size=1, prefetch=0).iter_from(4))
+        assert len(tail) == len(full) - 4
+        np.testing.assert_array_equal(
+            full[4]["ref_points"], tail[0]["ref_points"]
+        )
+
+    def test_cycle_loader_resume_continues_stream(self, kitti_root):
+        """A resumed CycleLoader must continue the SAME shuffled stream the
+        fresh run would have produced, not replay the prefix (reference
+        DDP runs restart data identically; preempted iteration runs here
+        fast-forward instead)."""
+        from rdmnet_tpu.engine.iter_trainer import CycleLoader
+
+        def frames(stream, n):
+            out = []
+            for _, b in zip(range(n), stream):
+                out.append((b["metadata"][0]["seq_id"], b["metadata"][0]["src_frame"]))
+            return out
+
+        def make():
+            ds = RegistrationPairDataset("kitti", kitti_root, "train")  # 6 pairs
+            return PairLoader(ds, cap=256, batch_size=1, shuffle=True, prefetch=0)
+
+        fresh = frames(iter(CycleLoader(make())), 15)
+        resumed = frames(iter(CycleLoader(make(), start_iteration=9)), 6)
+        assert resumed == fresh[9:15]
+        # and the shuffle is not degenerate: passes differ
+        assert fresh[0:6] != fresh[6:12]
 
 
 class TestCalibration:

@@ -61,3 +61,4 @@ class TestEvalRoundTrip:
             assert res.returncode == 0, res.stderr[-2000:]
             assert "== eval" in res.stdout
             assert "RR:" in res.stdout
+

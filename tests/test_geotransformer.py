@@ -88,3 +88,20 @@ class TestGroupAndAggregate:
         pooled, sizes = group_and_aggregate(q, s, feats, jnp.int32(3), 1.0, 4)
         assert float(pooled[0, 0]) == 3.0
         assert int(sizes[0]) == 2
+
+
+class TestGeometricEmbeddingSmallClouds:
+    def test_fewer_valid_points_than_angle_k(self, rng):
+        """With <= angle_k valid points the kNN falls back to masked pairs;
+        padded ~1e9 coordinates must not contaminate valid rows'
+        embeddings (bounded unit-vector substitution)."""
+        pts = np.full((16, 3), 1e9, np.float32)
+        pts[:3] = rng.rand(3, 3).astype(np.float32) * 5
+        valid = jnp.asarray(np.arange(16) < 3)
+        m = GeometricStructureEmbedding(16, sigma_d=4.8, sigma_a=15.0, angle_k=3)
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(pts), valid)
+        emb = np.asarray(m.apply(params, jnp.asarray(pts), valid))
+        sub = emb[:3, :3]
+        assert np.isfinite(sub).all()
+        # sinusoidal features are bounded; projections stay O(sqrt(D))
+        assert np.abs(sub).max() < 1e3, np.abs(sub).max()

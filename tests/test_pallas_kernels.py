@@ -34,3 +34,27 @@ class TestSinkhornPallas:
         np.testing.assert_allclose(
             np.asarray(a)[mask], np.asarray(b)[mask], rtol=1e-4, atol=1e-4
         )
+
+
+class TestRadiusKnnPallas:
+    def test_matches_exact_radius_knn(self, rng):
+        """Pin the kernel's EXACT-search contract against the jnp path
+        (same neighbor sets, same ascending-distance order, same
+        sentinels) — interpret mode on CPU."""
+        from rdmnet_tpu.ops.pallas.radius_knn import radius_knn_pallas
+        from rdmnet_tpu.ops.radius_search import radius_knn
+
+        q = (rng.rand(50, 3) * 6).astype(np.float32)
+        s = (rng.rand(300, 3) * 6).astype(np.float32)
+        s_count = jnp.int32(280)  # last 20 rows invalid
+        radius, k = 1.0, 8
+
+        want = np.asarray(radius_knn(
+            jnp.asarray(q), jnp.asarray(s), s_count, radius, k,
+            approx_recall=None,  # exact path
+        ))
+        got = np.asarray(radius_knn_pallas(
+            jnp.asarray(q), jnp.asarray(s), s_count, radius, k,
+            tile_q=16, block_s=64, interpret=True,
+        ))
+        np.testing.assert_array_equal(got, want)
