@@ -55,7 +55,11 @@ class CoarseMatchingLoss:
         ref_feats = out["ref_feats_c"]
         src_feats = out["src_feats_c"]
         overlaps = out["gt_node_corr_overlaps"]  # (M, N) dense
-        pair_valid = out["ref_node_masks"][:, None] & out["src_node_masks"][None, :]
+        # the reference includes EVERY real node — also ones owning no fine
+        # point (their overlap row is 0 -> negatives). Only capacity pads
+        # (which don't exist in the reference) are excluded, so pair
+        # validity is the survivor mask, NOT the owns-a-point node mask.
+        pair_valid = out["nodes_ref_valid"][:, None] & out["nodes_src_valid"][None, :]
 
         feat_dists = jnp.sqrt(
             pairwise_sq_dist(ref_feats, src_feats, normalized=True) + _SQRT_EPS
@@ -96,15 +100,27 @@ class GapLoss:
 
         src_pts = apply_transform(src_pts, batch.transform)
         dists = pairwise_sq_dist(ref_pts, src_pts)  # (P, K, K) squared
-        gt_masks = ref_m[:, :, None] & src_m[:, None, :]
         r2 = self.positive_radius**2
 
         # ---- ref side (reference loss.py:260-268): per ROW of the score
-        # matrix, positives/negatives stay row-aligned
-        masked_d = jnp.where(gt_masks, dists, _BIG)
-        ref_min = jnp.min(masked_d, axis=2)
-        ref_arg = jnp.argmin(masked_d, axis=2)
-        ref_label = jnp.where(ref_min < r2, ref_arg, k)   # (P, K) in [0, K]
+        # matrix, positives/negatives stay row-aligned.
+        # The reference takes the argmin over RAW distances whose invalid
+        # slots hold the zero pad row — i.e. the transformed ORIGIN on the
+        # src side (model.py:278-281 zero padding). A ref point whose raw
+        # nearest is such a pad gets its scattered label killed by gt_masks
+        # and lands on the DUSTBIN. Our pads sit at 1e9, so we emulate the
+        # reference by substituting each pad slot's distance-to-origin.
+        # distance from ref_i to the transformed src pad (= transform @ 0)
+        t = batch.transform[:3, 3]
+        ref_to_padsq = jnp.sum((ref_pts - t) ** 2, axis=-1)   # (P, K)
+        # distance from transformed src_j to the (untransformed) zero ref pad
+        src_to_padsq = jnp.sum(src_pts**2, axis=-1)           # (P, K)
+        d_emul = jnp.where(src_m[:, None, :], dists, ref_to_padsq[:, :, None])
+        d_emul = jnp.where(ref_m[:, :, None], d_emul, _BIG)   # invalid rows: don't care
+        ref_min = jnp.min(d_emul, axis=2)
+        ref_arg = jnp.argmin(d_emul, axis=2)
+        arg_real = jnp.take_along_axis(src_m, ref_arg, axis=1)
+        ref_label = jnp.where((ref_min < r2) & arg_real, ref_arg, k)  # (P, K) in [0, K]
         ref_rows = scores[:, :k, :]                       # (P, K, K+1)
         pos = -jnp.take_along_axis(ref_rows, ref_label[..., None], axis=2)[..., 0]
         onehot = jax.nn.one_hot(ref_label, k1, dtype=bool)
@@ -121,10 +137,13 @@ class GapLoss:
         # the published model was trained with exactly this objective. A
         # stable argsort on the label flags reproduces "flatten row-major,
         # drop the K labeled entries, reshape".
-        masked_dT = jnp.swapaxes(masked_d, 1, 2)          # (P, K_src, K_ref)
-        src_min = jnp.min(masked_dT, axis=2)
-        src_arg = jnp.argmin(masked_dT, axis=2)
-        src_label = jnp.where(src_min < r2, src_arg, k)   # (P, K) row in [0, K]
+        d_emulT = jnp.swapaxes(dists, 1, 2)               # (P, K_src, K_ref)
+        d_emulT = jnp.where(ref_m[:, None, :], d_emulT, src_to_padsq[:, :, None])
+        d_emulT = jnp.where(src_m[:, :, None], d_emulT, _BIG)
+        src_min = jnp.min(d_emulT, axis=2)
+        src_arg = jnp.argmin(d_emulT, axis=2)
+        arg_real2 = jnp.take_along_axis(ref_m, src_arg, axis=1)
+        src_label = jnp.where((src_min < r2) & arg_real2, src_arg, k)  # (P, K) in [0, K]
         grid = -scores[:, :, :k]                          # (P, K+1, K)
         pos2 = jnp.take_along_axis(
             grid, src_label[:, None, :], axis=1

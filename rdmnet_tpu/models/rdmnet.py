@@ -39,11 +39,6 @@ from rdmnet_tpu.ops.nms import greedy_nms
 from rdmnet_tpu.ops.partition import point_to_node_partition
 
 
-def _stack_pair(ref_tree, src_tree):
-    """Stack two cloud pytrees on a new leading axis (profiling helper)."""
-    return jax.tree.map(lambda a, b: jnp.stack([a, b]), ref_tree, src_tree)
-
-
 class RDMNet(nn.Module):
     cfg: Config
 

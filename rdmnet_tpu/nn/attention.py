@@ -61,6 +61,7 @@ def _attend(
     v: jnp.ndarray,           # (H, M, d)
     kv_valid: Optional[jnp.ndarray],  # (M,) True=real
     topk: Optional[int] = None,
+    topk_count: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     d = q.shape[-1]
     # logits/softmax in f32 regardless of q/k dtype
@@ -73,8 +74,14 @@ def _attend(
     else:
         # sparse top-k attention (reference dynamic_attention,
         # thdroformer.py:20-40): softmax over the top-k scores per query,
-        # zeros elsewhere.
+        # zeros elsewhere. ``topk`` is the STATIC rank bound; ``topk_count``
+        # (dynamic scalar <= topk) emulates the reference's int(n * frac)
+        # over the VALID node count in the padded regime: ranks beyond it
+        # are masked out before the softmax.
         top_vals, top_idx = jax.lax.top_k(scores, topk)  # (H, N, topk)
+        if topk_count is not None:
+            rank_ok = jnp.arange(topk) < topk_count
+            top_vals = jnp.where(rank_ok[None, None, :], top_vals, _NEG_INF)
         probs = jax.nn.softmax(top_vals, axis=-1)
         one_hot = jax.nn.one_hot(top_idx, scores.shape[-1], dtype=scores.dtype)
         attn = jnp.einsum("hnk,hnkm->hnm", probs, one_hot, preferred_element_type=jnp.float32)
@@ -107,7 +114,8 @@ class RotaryMultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_q, input_k, input_v, pos_emb_q, pos_emb_k, kv_valid=None):
+    def __call__(self, input_q, input_k, input_v, pos_emb_q, pos_emb_k,
+                 kv_valid=None, topk_count=None):
         h = self.num_heads
         q = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(input_q), h)
         k = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(input_k), h)
@@ -120,7 +128,9 @@ class RotaryMultiHeadAttention(nn.Module):
 
         q = rotary_rotate(q.astype(jnp.float32), theta(pos_emb_q, input_q.shape[0])).astype(self.dtype)
         k = rotary_rotate(k.astype(jnp.float32), theta(pos_emb_k, input_k.shape[0])).astype(self.dtype)
-        return _merge_heads(_attend(q, k, v, kv_valid, topk=self.topk))
+        return _merge_heads(
+            _attend(q, k, v, kv_valid, topk=self.topk, topk_count=topk_count)
+        )
 
 
 class AttentionOutput(nn.Module):
@@ -166,12 +176,13 @@ class RotaryTransformerLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_states, memory_states, pos_emb, memory_valid=None):
+    def __call__(self, input_states, memory_states, pos_emb, memory_valid=None,
+                 topk_count=None):
         hidden = RotaryMultiHeadAttention(
             self.d_model, self.num_heads, topk=self.topk, dtype=self.dtype,
             name="attention"
         )(input_states, memory_states, memory_states, pos_emb, pos_emb,
-          kv_valid=memory_valid)
+          kv_valid=memory_valid, topk_count=topk_count)
         hidden = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(hidden)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(hidden + input_states).astype(self.dtype)
         return AttentionOutput(self.d_model, dtype=self.dtype, name="output")(x)

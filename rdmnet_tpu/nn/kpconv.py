@@ -19,13 +19,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rdmnet_tpu.nn.kernel_points import make_kernel_points
+from rdmnet_tpu.ops.geometry import take_padded
 
 _INF_POINT = 1.0e6  # shadow-neighbor coordinate (reference kpconv.py:37 inf)
 
 
 def gather_neighbors(x: jnp.ndarray, indices: jnp.ndarray, fill: float = 0.0) -> jnp.ndarray:
-    """(N, C) gathered by (M, H) sentinel-padded indices -> (M, H, C)."""
-    return jnp.take(x, indices, axis=0, mode="fill", fill_value=fill)
+    """(N, C) gathered by (M, H) sentinel-padded indices -> (M, H, C).
+    Alias of ops.geometry.take_padded — the framework-wide masking ABI —
+    under KPConv's local vocabulary."""
+    return take_padded(x, indices, fill_value=fill)
 
 
 def maxpool(x: jnp.ndarray, neighbor_indices: jnp.ndarray) -> jnp.ndarray:

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rdmnet_tpu.nn.attention import RotaryTransformerLayer, TransformerLayer
+from rdmnet_tpu.nn.transformers import PEConditionalTransformer
 
 
 class ThDRoFormer(nn.Module):
@@ -58,18 +59,34 @@ class ThDRoFormer(nn.Module):
         ref_x = in_proj(ref_feats.astype(self.dtype))
         src_x = in_proj(src_feats.astype(self.dtype))
 
+        # reference dynamic_attention keeps int(n * frac) keys where n is the
+        # REAL node count (thdroformer.py:27 — no pads there); with static
+        # capacities, the static top_k rank bound is int(cap * frac) and the
+        # dynamic count int(valid * frac) masks ranks beyond it
+        def dyn_count(valid, frac, kmax):
+            if valid is None:
+                return None
+            count = jnp.floor(jnp.sum(valid).astype(jnp.float32) * frac)
+            return jnp.clip(count.astype(jnp.int32), 1, kmax)
+
         for layer in range(self.num_layers):
             if self.k is not None:
-                n = ref_x.shape[0]
-                topk = max(1, min(n, int(n * self.k[layer])))
+                cap = ref_x.shape[0]
+                frac = self.k[layer]
+                topk = max(1, min(cap, int(cap * frac)))
+                ref_kc = dyn_count(ref_valid, frac, topk)
+                src_kc = dyn_count(src_valid, frac, topk)
             else:
                 topk = None
+                ref_kc = src_kc = None
             self_layer = RotaryTransformerLayer(
                 self.hidden_dim, self.num_heads, topk=topk, dtype=self.dtype,
                 name=f"self_{layer}"
             )
-            ref_x = self_layer(ref_x, ref_x, ref_pe, memory_valid=ref_valid)
-            src_x = self_layer(src_x, src_x, src_pe, memory_valid=src_valid)
+            ref_x = self_layer(ref_x, ref_x, ref_pe, memory_valid=ref_valid,
+                               topk_count=ref_kc)
+            src_x = self_layer(src_x, src_x, src_pe, memory_valid=src_valid,
+                               topk_count=src_kc)
 
             cross_layer = TransformerLayer(
                 self.hidden_dim, self.num_heads, dtype=self.dtype,
@@ -86,9 +103,11 @@ class ThDRoFormer(nn.Module):
 
 
 class APETransformer(nn.Module):
-    """Absolute-positional-embedding ablation variant
-    (reference thdroformer.py:368-448): embeddings Linear(3 -> hidden) are
-    added to the features before each self block."""
+    """Absolute-positional-embedding ablation variant (reference
+    thdroformer.py:368-448): posEmbedding2 = Linear(3 -> hidden) of raw
+    xyz, fed to the geotransformer PEConditionalTransformer — i.e. the
+    embeddings enter q/k through the shared proj_p projection only
+    (pe_transformer.py:58-60); v and the residual stream never see them."""
 
     input_dim: int
     output_dim: int
@@ -113,17 +132,10 @@ class APETransformer(nn.Module):
         ref_x = in_proj(ref_feats)
         src_x = in_proj(src_feats)
 
-        for layer in range(self.num_layers):
-            self_layer = TransformerLayer(
-                self.hidden_dim, self.num_heads, name=f"self_{layer}"
-            )
-            ref_x = self_layer(ref_x + ref_pe, ref_x + ref_pe, memory_valid=ref_valid)
-            src_x = self_layer(src_x + src_pe, src_x + src_pe, memory_valid=src_valid)
-            cross_layer = TransformerLayer(
-                self.hidden_dim, self.num_heads, name=f"cross_{layer}"
-            )
-            ref_x = cross_layer(ref_x, src_x, memory_valid=src_valid)
-            src_x = cross_layer(src_x, ref_x, memory_valid=ref_valid)
+        ref_x, src_x = PEConditionalTransformer(
+            ("self", "cross") * self.num_layers,
+            self.hidden_dim, self.num_heads, name="transformer",
+        )(ref_x, src_x, ref_pe, src_pe, ref_valid=ref_valid, src_valid=src_valid)
 
         out_proj = nn.Dense(self.output_dim, name="out_proj")
         return out_proj(ref_x), out_proj(src_x)

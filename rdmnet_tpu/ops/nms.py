@@ -41,7 +41,10 @@ def greedy_nms(
     """
     m = nodes.shape[0]
     sq = pairwise_sq_dist(nodes, nodes)
-    adj = sq <= radius * radius
+    # STRICT inequality: the reference's adjacency comes from nanoflann,
+    # whose RadiusResultSet admits dist < radius (nanoflann.hpp:250) — a
+    # node pair at exactly the NMS radius must NOT suppress
+    adj = sq < radius * radius
     adj = adj & nodes_mask[None, :] & nodes_mask[:, None]
     # self-adjacency is irrelevant: a node never blocks itself
     adj = adj & ~jnp.eye(m, dtype=bool)

@@ -113,13 +113,20 @@ def synth():
     knn_src_m = rng.rand(P, K) < 0.85
     knn_ref_m[:, 0] = True  # no fully-empty rows
     knn_src_m[:, 0] = True
-    # pipeline conventions at masked entries: the reference gathers the
-    # shadow row (inf coordinates) and its masked OT emits -1e12 scores;
-    # ours zero-fills gathered points (and masks in the loss). Reproduce
-    # both so the loss-side masking semantics line up the way they do in
-    # the real models.
-    knn_ref_inf = np.where(knn_ref_m[..., None], knn_ref, 1.0e6).astype(np.float32)
-    knn_src_inf = np.where(knn_src_m[..., None], knn_src, 1.0e6).astype(np.float32)
+    # engineer a pad-wins-argmin case in patch 0 (gap-loss label semantics):
+    # ref slot 0 sits 0.1 m from the TRANSFORMED src pad (= t) while its
+    # nearest VALID src point is 0.3 m away (also within positive_radius
+    # 0.6) — the reference's raw argmin lands on the pad, so the row must
+    # get the DUSTBIN label, not the nearby valid point.
+    knn_src_m[0, K - 1] = False
+    p0 = tf[:3, 3] + np.array([0.1, 0.0, 0.0], np.float32)
+    knn_ref[0, 0] = p0
+    knn_src[0, 0] = (p0 + np.array([0.3, 0.0, 0.0], np.float32)) @ inv[:3, :3].T + inv[:3, 3]
+    # pipeline convention at masked entries: BOTH the reference and this
+    # framework zero-fill the gathered patch points (reference
+    # model.py:278-281 appends a zero row and gathers it at :323-328; ours
+    # take_padded fill=0), so the transformed src pads land at t inside the
+    # gap loss — load-bearing for its label semantics.
     knn_ref_zero = np.where(knn_ref_m[..., None], knn_ref, 0.0).astype(np.float32)
     knn_src_zero = np.where(knn_src_m[..., None], knn_src, 0.0).astype(np.float32)
     row_m = np.concatenate([knn_ref_m, np.ones((P, 1), bool)], axis=1)
@@ -140,7 +147,6 @@ def synth():
         shifted_ref=shifted_ref, shifted_src=shifted_src,
         feats_ref=feats_ref, feats_src=feats_src,
         corr=corr, overlaps=overlaps, scores=scores,
-        knn_ref_inf=knn_ref_inf, knn_src_inf=knn_src_inf,
         knn_ref_zero=knn_ref_zero, knn_src_zero=knn_src_zero,
         knn_ref_m=knn_ref_m, knn_src_m=knn_src_m,
         n2p_ref=n2p_ref, n2p_src=n2p_src, p2p_ref=p2p_ref, p2p_src=p2p_src,
@@ -164,8 +170,8 @@ def ref_out(synth):
         "gt_node_corr_indices": t(synth["corr"].astype(np.int64)),
         "gt_node_corr_overlaps": t(synth["overlaps"]),
         "matching_scores": t(synth["scores"]),
-        "ref_node_corr_knn_points": t(synth["knn_ref_inf"]),
-        "src_node_corr_knn_points": t(synth["knn_src_inf"]),
+        "ref_node_corr_knn_points": t(synth["knn_ref_zero"]),
+        "src_node_corr_knn_points": t(synth["knn_src_zero"]),
         "ref_node_corr_knn_masks": t(synth["knn_ref_m"]),
         "src_node_corr_knn_masks": t(synth["knn_src_m"]),
         "ref_n2p_scores_c": t(synth["n2p_ref"]),
@@ -198,8 +204,14 @@ def our_out(synth):
         "ref_feats_c": j(synth["feats_ref"]),
         "src_feats_c": j(synth["feats_src"]),
         "gt_node_corr_overlaps": j(dense),
-        "ref_node_masks": jnp.ones((M,), bool),
+        # node 0 owns no fine point (node_masks False) but is REAL — the
+        # reference includes it in CoarseMatchingLoss as a pure negative
+        # (it has no masking there), so nodes_*_valid, not node_masks,
+        # gates the loss pairs
+        "ref_node_masks": jnp.ones((M,), bool).at[0].set(False),
         "src_node_masks": jnp.ones((N,), bool),
+        "nodes_ref_valid": jnp.ones((M,), bool),
+        "nodes_src_valid": jnp.ones((N,), bool),
         "ref_mask_c": jnp.ones((M,), bool),
         "src_mask_c": jnp.ones((N,), bool),
         "ref_mask_f": jnp.ones((MF,), bool),

@@ -302,7 +302,8 @@ class TestGreedyNMS:
             if not mask[i]:
                 continue
             d = np.linalg.norm(nodes - nodes[i], axis=1)
-            neighbors = (d <= radius) & mask & keep
+            # strict <, matching nanoflann's RadiusResultSet (nanoflann.hpp:250)
+            neighbors = (d < radius) & mask & keep
             neighbors[i] = False
             keep[i] = not neighbors.any()
         return keep
@@ -322,6 +323,16 @@ class TestGreedyNMS:
         d = np.linalg.norm(kept[:, None] - kept[None], axis=-1)
         np.fill_diagonal(d, 10.0)
         assert d.min() > 1.0
+
+    def test_exact_radius_boundary_not_suppressed(self):
+        """Nodes exactly nms_radius apart must BOTH survive: the
+        reference adjacency comes from nanoflann, which admits only
+        dist < radius (nanoflann.hpp:250)."""
+        nodes = np.array([[0.0, 0, 0], [1.0, 0, 0], [0.5, 0, 0]], np.float32)
+        mask = np.ones(3, bool)
+        keep = np.asarray(greedy_nms(jnp.asarray(nodes), jnp.asarray(mask), 1.0))
+        # node 1 is exactly radius from node 0 -> kept; node 2 within -> killed
+        assert keep.tolist() == [True, True, False]
 
 
 class TestVoxelSortKey:

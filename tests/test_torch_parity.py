@@ -636,3 +636,89 @@ class TestNeighborLimitRule:
                 want = reference_rule(counts, keep, int(counts.max()) + 2)
                 got = limit_from_counts(counts, keep)
                 assert got == want, (counts[:8], keep, got, want)
+
+
+class TestThDRoFormerPadded:
+    def test_topk_attention_parity_padded(self, rng):
+        """The dynamic top-k count must follow the VALID node count
+        (reference dynamic_attention k = int(n * frac), thdroformer.py:27),
+        not the padded capacity — otherwise sparsification silently turns
+        dense whenever the cloud underfills its bucket."""
+        from rdmnet.thdroformer.thdroformer import ThDRoFormer as TorchThDRo
+
+        from rdmnet_tpu.nn.thdroformer import ThDRoFormer
+
+        din, dout, hidden, heads, layers = 32, 32, 32, 4, 2
+        n, m, cap = 24, 20, 32
+        kfrac = (0.5, 0.75)
+        tm = TorchThDRo(din, dout, hidden, heads, layers, k=list(kfrac)).eval()
+
+        ref_pts = (rng.rand(n, 3) * 10).astype(np.float32)
+        src_pts = (rng.rand(m, 3) * 10).astype(np.float32)
+        ref_f = rng.randn(n, din).astype(np.float32)
+        src_f = rng.randn(m, din).astype(np.float32)
+
+        with torch.no_grad():
+            t_ref, t_src = tm(
+                torch.from_numpy(ref_pts[None]), torch.from_numpy(src_pts[None]),
+                torch.from_numpy(ref_f[None]), torch.from_numpy(src_f[None]),
+            )
+
+        def pad(x, cap, fill):
+            out = np.full((cap,) + x.shape[1:], fill, x.dtype)
+            out[: len(x)] = x
+            return jnp.asarray(out)
+
+        ours = ThDRoFormer(din, dout, hidden, heads, layers, k=kfrac)
+        params = thdro_params_from_torch(tm.state_dict(), layers)
+        j_ref, j_src = ours.apply(
+            params,
+            pad(ref_pts, cap, 1e6), pad(src_pts, cap, 1e6),
+            pad(ref_f, cap, 0.0), pad(src_f, cap, 0.0),
+            ref_valid=jnp.arange(cap) < n, src_valid=jnp.arange(cap) < m,
+        )
+        np.testing.assert_allclose(np.asarray(j_ref)[:n], t2n(t_ref)[0], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(j_src)[:m], t2n(t_src)[0], rtol=1e-4, atol=1e-4)
+
+
+class TestAPETransformerParity:
+    def test_forward_parity(self, rng):
+        """APE ablation = posEmbedding2 + PEConditionalTransformer
+        (reference thdroformer.py:368-448): embeddings enter q/k via the
+        shared proj_p only."""
+        from rdmnet.thdroformer.thdroformer import APETransformer as TorchAPE
+
+        from rdmnet_tpu.nn.thdroformer import APETransformer
+
+        din, dout, hidden, heads, layers = 48, 32, 32, 4, 2
+        n, m = 22, 18
+        blocks = ["self", "cross"] * layers
+        tm = TorchAPE(din, dout, hidden, blocks, heads).eval()
+
+        ref_pts = (rng.rand(n, 3) * 10).astype(np.float32)
+        src_pts = (rng.rand(m, 3) * 10).astype(np.float32)
+        ref_f = rng.randn(n, din).astype(np.float32)
+        src_f = rng.randn(m, din).astype(np.float32)
+
+        with torch.no_grad():
+            t_ref, t_src = tm(
+                torch.from_numpy(ref_pts[None]), torch.from_numpy(src_pts[None]),
+                torch.from_numpy(ref_f[None]), torch.from_numpy(src_f[None]),
+            )
+
+        sd = tm.state_dict()
+        inner = {k[len("transformer."):]: v for k, v in sd.items()
+                 if k.startswith("transformer.")}
+        params = {"params": {
+            "embedding": lin(sd, "embedding.proj"),
+            "in_proj": lin(sd, "in_proj"),
+            "out_proj": lin(sd, "out_proj"),
+            "transformer": cond_params_from_torch(inner, blocks, pe=True)["params"],
+        }}
+        ours = APETransformer(din, dout, hidden, heads, layers)
+        j_ref, j_src = ours.apply(
+            params, jnp.asarray(ref_pts), jnp.asarray(src_pts),
+            jnp.asarray(ref_f), jnp.asarray(src_f),
+        )
+        np.testing.assert_allclose(np.asarray(j_ref), t2n(t_ref)[0], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(j_src), t2n(t_src)[0], rtol=1e-4, atol=1e-4)
