@@ -151,62 +151,9 @@ void rdm_radius_knn(const float* q_points, int32_t nq, const float* s_points,
 }
 
 // Full single-cloud pyramid build: subsample levels + all neighbor tables.
-// Layout contract mirrors rdmnet_tpu/graph/pyramid.py. Buffers are
-// caller-allocated with static capacities; pad rows are set to pad_coord and
-// index pads to the level capacity.
-void rdm_build_pyramid(
-    const float* points, int32_t n, int32_t num_stages, float voxel_size,
-    float radius, const int32_t* caps, const int32_t* neighbor_limits,
-    float pad_coord,
-    float** level_points,    // [num_stages] -> (caps[i] * 3) buffers
-    int32_t* level_counts,   // [num_stages]
-    int32_t** neighbors,     // [num_stages] -> (caps[i] * K_i)
-    int32_t** subsampling,   // [num_stages-1] -> (caps[i+1] * K_i)
-    int32_t** upsampling) {  // [num_stages-1] -> (caps[i] * K_{i+1})
-    // level 0
-    const int32_t n0 = std::min(n, caps[0]);
-    std::memcpy(level_points[0], points, sizeof(float) * 3 * n0);
-    level_counts[0] = n0;
-    for (int32_t i = n0; i < caps[0]; ++i)
-        for (int32_t d = 0; d < 3; ++d) level_points[0][3 * i + d] = pad_coord;
-
-    float voxel = voxel_size;
-    for (int32_t lvl = 1; lvl < num_stages; ++lvl) {
-        voxel *= 2.0f;
-        const int32_t cnt = rdm_grid_subsample(
-            level_points[lvl - 1], level_counts[lvl - 1], voxel,
-            level_points[lvl], caps[lvl]);
-        level_counts[lvl] = cnt;
-        for (int32_t i = cnt; i < caps[lvl]; ++i)
-            for (int32_t d = 0; d < 3; ++d) level_points[lvl][3 * i + d] = pad_coord;
-    }
-
-    float r = radius;
-    for (int32_t lvl = 0; lvl < num_stages; ++lvl) {
-        // sentinel = static level capacity (framework padding ABI); pad-query
-        // rows (beyond the valid count) are sentinel-filled up front
-        std::fill(neighbors[lvl],
-                  neighbors[lvl] + static_cast<size_t>(caps[lvl]) * neighbor_limits[lvl],
-                  caps[lvl]);
-        rdm_radius_knn(level_points[lvl], level_counts[lvl], level_points[lvl],
-                       level_counts[lvl], r, neighbor_limits[lvl], caps[lvl],
-                       neighbors[lvl]);
-        if (lvl < num_stages - 1) {
-            std::fill(subsampling[lvl],
-                      subsampling[lvl] + static_cast<size_t>(caps[lvl + 1]) * neighbor_limits[lvl],
-                      caps[lvl]);
-            rdm_radius_knn(level_points[lvl + 1], level_counts[lvl + 1],
-                           level_points[lvl], level_counts[lvl], r,
-                           neighbor_limits[lvl], caps[lvl], subsampling[lvl]);
-            std::fill(upsampling[lvl],
-                      upsampling[lvl] + static_cast<size_t>(caps[lvl]) * neighbor_limits[lvl + 1],
-                      caps[lvl + 1]);
-            rdm_radius_knn(level_points[lvl], level_counts[lvl],
-                           level_points[lvl + 1], level_counts[lvl + 1], r * 2.0f,
-                           neighbor_limits[lvl + 1], caps[lvl + 1], upsampling[lvl]);
-        }
-        r *= 2.0f;
-    }
-}
+// The one-call pyramid builder lives in Python (graph/native.py
+// build_pyramid_native), composing the two primitives above — that path
+// applies the canonical level-0 voxel-key sort and the
+// build_upsampling_from_level gating that the device builder defines.
 
 }  // extern "C"

@@ -34,6 +34,10 @@ def main():
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--log_steps", type=int, default=10)
     parser.add_argument(
+        "--dp", type=int, default=None,
+        help="data-parallel mesh size: N devices, -1 = all, 1 = off (default)",
+    )
+    parser.add_argument(
         "--multihost", action="store_true",
         help="initialize jax.distributed for a multi-host pod slice",
     )
@@ -58,6 +62,8 @@ def main():
     cfg = make_cfg()
     if args.max_epoch is not None:
         cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, max_epoch=args.max_epoch))
+    if args.dp is not None:
+        cfg = cfg.replace(parallel=dataclasses.replace(cfg.parallel, dp=args.dp))
     batch_size = args.batch_size or cfg.train.batch_size
 
     import jax

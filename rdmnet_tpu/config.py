@@ -306,7 +306,8 @@ class TestDataConfig:
 class ParallelConfig:
     """TPU mesh layout (replaces NCCL DDP, reference: base_trainer.py:63-78)."""
 
-    dp: int = 1                 # data-parallel mesh axis size (-1 = all devices)
+    dp: int = 1                 # data-parallel mesh size: N devices, -1 = all,
+                                # 1 = single-device (mesh off); trainval --dp overrides
     scale_lr_by_dp: bool = True  # reference scales lr by world size (base_trainer.py:193-198)
 
 

@@ -42,9 +42,15 @@ def create_optimizer(cfg: Config, steps_per_epoch: int, dp_size: int = 1):
     cfg.parallel.scale_lr_by_dp.
     """
     lr = cfg.optim.lr * (dp_size if cfg.parallel.scale_lr_by_dp else 1)
+    # the schedule count advances once per APPLIED update: under MultiSteps
+    # the inner Adam (and its schedule) runs once per grad_acc_steps
+    # micro-batches, so transition_steps must be in macro steps to keep the
+    # reference's "decay every lr_decay_steps EPOCHS" semantics
+    # (reference trainval.py:36, epoch_based_trainer.py:137)
+    applied_per_epoch = max(1, steps_per_epoch // max(1, cfg.optim.grad_acc_steps))
     schedule = optax.exponential_decay(
         init_value=lr,
-        transition_steps=cfg.optim.lr_decay_steps * steps_per_epoch,
+        transition_steps=cfg.optim.lr_decay_steps * applied_per_epoch,
         decay_rate=cfg.optim.lr_decay,
         staircase=True,
     )

@@ -49,21 +49,28 @@ def _jitted_builder(spec):
 
 
 def batch_to_device(np_batch, spec, mesh=None):
-    """Host numpy batch -> batched PairBatch (pyramid built on device, vmapped)."""
+    """Host numpy batch -> batched PairBatch (pyramid built on device, vmapped).
+
+    With a mesh, the RAW host batch is sharded over 'dp' BEFORE the jitted
+    build, so XLA partitions the pyramid construction and each device
+    builds only its own shard — instead of building all B pyramids on the
+    default device and scattering the result. This ordering is also the
+    only correct one under multi-host (each process holds its local loader
+    shard; see shard_batch).
+    """
     bsz = len(np_batch["ref_points"])
     args = (
-        jnp.asarray(np_batch["ref_points"]),
-        jnp.asarray(np_batch["ref_counts"]),
-        jnp.asarray(np_batch["src_points"]),
-        jnp.asarray(np_batch["src_counts"]),
-        jnp.asarray(np_batch["transform"]),
-        jnp.asarray(np_batch.get("ref_dropped", np.zeros(bsz, np.int32))),
-        jnp.asarray(np_batch.get("src_dropped", np.zeros(bsz, np.int32))),
+        np.asarray(np_batch["ref_points"]),
+        np.asarray(np_batch["ref_counts"]),
+        np.asarray(np_batch["src_points"]),
+        np.asarray(np_batch["src_counts"]),
+        np.asarray(np_batch["transform"]),
+        np.asarray(np_batch.get("ref_dropped", np.zeros(bsz, np.int32))),
+        np.asarray(np_batch.get("src_dropped", np.zeros(bsz, np.int32))),
     )
-    batch = _jitted_builder(spec)(*args)
     if mesh is not None:
-        batch = shard_batch(batch, mesh)
-    return batch
+        args = shard_batch(args, mesh)
+    return _jitted_builder(spec)(*args)
 
 
 class Trainer:
@@ -86,8 +93,18 @@ class Trainer:
             os.path.join(output_dir, "snapshots"), max_to_keep=keep_snapshots
         )
 
-        self.mesh = make_mesh(cfg.parallel.dp) if jax.device_count() > 1 else None
+        # explicit opt-in: dp=-1 (all devices) or dp>1 builds the mesh;
+        # the old device_count>1 check silently built a 1-device mesh and
+        # left the other chips idle
+        dp_cfg = cfg.parallel.dp
+        self.mesh = make_mesh(dp_cfg) if (dp_cfg == -1 or dp_cfg > 1) else None
         dp = self.mesh.devices.size if self.mesh is not None else 1
+        if self.mesh is None and jax.device_count() > 1:
+            self.logger.info(
+                f"{jax.device_count()} devices visible but parallel.dp=1 — "
+                "training single-device; set dp=-1 (all) or dp=N for data "
+                "parallelism"
+            )
 
         # init from one example batch — peek() loads it synchronously;
         # next(iter(loader)) would abandon a prefetching iterator and leak
@@ -138,7 +155,11 @@ class Trainer:
     def validate(self):
         if self.val_loader is None:
             return {}
-        board = SummaryBoard()
+        # weight each batch's (valid-pair) mean by its valid-pair count so
+        # the ragged tail batch doesn't over-weight its pairs — the
+        # reference's SummaryBoard accumulates per pair
+        sums: dict = {}
+        denom = 0.0
         for np_batch in self.val_loader:
             batch = batch_to_device(np_batch, self.cfg.pyramid, self.mesh)
             valid = np_batch.get("batch_valid")
@@ -146,9 +167,19 @@ class Trainer:
                 self.state, batch,
                 None if valid is None else jnp.asarray(valid),
             )
-            board.update_from_dict(metrics)
-        summary = board.summary()
-        self.logger.info(f"val epoch {self.epoch} | {board.format()}")
+            n_valid = (
+                float(np.sum(valid)) if valid is not None
+                else float(len(np_batch["ref_points"]))
+            )
+            for k, v in metrics.items():
+                try:
+                    sums[k] = sums.get(k, 0.0) + float(v) * n_valid
+                except (TypeError, ValueError):
+                    pass
+            denom += n_valid
+        summary = {k: v / max(denom, 1.0) for k, v in sums.items()}
+        line = ", ".join(f"{k}: {v:.4f}" for k, v in sorted(summary.items()))
+        self.logger.info(f"val epoch {self.epoch} | {line}")
         return summary
 
     def _write_metrics(self, phase: str, summary: dict):

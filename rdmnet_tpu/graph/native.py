@@ -100,17 +100,12 @@ def build_pyramid_native(points: np.ndarray, spec, pad_coord: float = 1.0e9):
     level_points: List[np.ndarray] = []
     counts: List[int] = []
     p, c = points[: spec.caps[0]], min(len(points), spec.caps[0])
-    # canonical level-0 order: anchored (x, y, z) voxel-key sort (mirrors
-    # ops/grid_subsample.voxel_sort_key, incl. the 2046 cx clip that keeps
-    # the max key below the int32 invalid sentinel)
-    cell0 = 2.0 * spec.voxel_size
-    anchor = np.floor(p.min(axis=0) / cell0) * cell0
-    coords = np.floor((p - anchor) / cell0).astype(np.int64)
-    key = (
-        (np.clip(coords[:, 0], 0, 2046) << 20)
-        | (np.clip(coords[:, 1], 0, 1023) << 10)
-        | np.clip(coords[:, 2], 0, 1023)
-    )
+    # canonical level-0 order: the device builder's own anchored voxel key
+    # (single-sourced numpy twin, incl. the clip that keeps the max key
+    # below the int32 invalid sentinel)
+    from rdmnet_tpu.ops.grid_subsample import voxel_sort_key_np
+
+    key = voxel_sort_key_np(p, 2.0 * spec.voxel_size)
     p = p[np.argsort(key, kind="stable")]
     padded = np.full((spec.caps[0], 3), pad_coord, np.float32)
     padded[:c] = p

@@ -65,6 +65,22 @@ def voxel_sort_key(points: jnp.ndarray, valid: jnp.ndarray, cell: float):
     return key, jnp.sum(clipped).astype(jnp.int32)
 
 
+def voxel_sort_key_np(points, cell: float):
+    """Numpy twin of voxel_sort_key for host paths (graph/native.py) —
+    same anchor, bit layout and _CLIP constants, so the host level-0 order
+    stays row-for-row identical to the device builder's. All-valid input
+    assumed (host callers truncate instead of padding)."""
+    import numpy as np
+
+    anchor = np.floor(points.min(axis=0) / cell) * cell
+    coords = np.floor((points - anchor) / cell).astype(np.int64)
+    return (
+        (np.clip(coords[:, 0], 0, _CLIP[0]) << 20)
+        | (np.clip(coords[:, 1], 0, _CLIP[1]) << 10)
+        | np.clip(coords[:, 2], 0, _CLIP[2])
+    )
+
+
 def grid_subsample(
     points: jnp.ndarray,
     num_valid: jnp.ndarray,

@@ -41,8 +41,22 @@ def make_mesh(dp: Optional[int] = None, devices=None) -> Mesh:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard a batched pytree's leading axis over 'dp'."""
+    """Shard a batched pytree's leading axis over 'dp'.
+
+    Multi-host: each process holds its OWN loader shard (PairLoader's
+    per-host striding), so the leaves are process-local slices of a global
+    batch — jax.device_put would wrongly treat them as identical global
+    values. make_array_from_process_local_data assembles the true global
+    array (global batch = num_processes x local batch).
+    """
     sharding = NamedSharding(mesh, P("dp"))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.device_put(batch, sharding)
 
 

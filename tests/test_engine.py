@@ -83,3 +83,29 @@ class TestTrainerLoop:
         trainer2 = Trainer(cfg, train_loader, val_loader, output_dir=out_dir, log_steps=1)
         trainer2.run(resume=True)
         assert trainer2.epoch == 1
+
+
+class TestLrScheduleGradAcc:
+    def test_transition_in_applied_steps(self):
+        """The decay boundary must be expressed in APPLIED (macro) updates:
+        optax.MultiSteps advances the inner schedule only when it emits, so
+        micro-step transition_steps would decay grad_acc_steps x too slowly
+        vs the reference's per-epoch StepLR (trainval.py:36)."""
+        import dataclasses
+
+        from rdmnet_tpu.config import make_tiny_cfg
+        from rdmnet_tpu.engine.train_step import create_optimizer
+
+        cfg = make_tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, grad_acc_steps=4)
+        )
+        steps_per_epoch = 8  # -> 2 applied updates/epoch
+        _, schedule = create_optimizer(cfg, steps_per_epoch)
+        applied_per_epoch = steps_per_epoch // 4
+        boundary = cfg.optim.lr_decay_steps * applied_per_epoch
+        lr0 = float(schedule(0))
+        assert float(schedule(boundary - 1)) == lr0
+        assert float(schedule(boundary)) == pytest.approx(
+            lr0 * cfg.optim.lr_decay, rel=1e-6
+        )
