@@ -41,7 +41,11 @@ def build_model_and_params(
         if not os.path.isdir(snapshot_dir):
             raise FileNotFoundError(f"snapshot_dir not found: {snapshot_dir}")
         rp, rc = pad_cloud(jnp.asarray(pts), cfg.pyramid.caps[0])
-        example = build_pair_batch(rp, rc, rp, rc, jnp.eye(4), cfg.pyramid)
+        # jitted like the random-init path below: eager pyramid construction
+        # pays per-op dispatch latency on remote devices (train_step.py note)
+        example = jax.jit(
+            lambda p, c: build_pair_batch(p, c, p, c, jnp.eye(4), cfg.pyramid)
+        )(rp, rc)
         state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed), example)
         mgr = CheckpointManager(snapshot_dir)
         state, meta = mgr.restore(state, step=epoch)
@@ -61,14 +65,12 @@ def pad_pair_np(cfg: Config, ref_points: np.ndarray, src_points: np.ndarray):
     function (eager building pays per-op dispatch latency). Level-0
     truncation is reported via the pyramid's ``dropped`` telemetry — callers
     can recover it as ``len(points) - count``."""
+    from rdmnet_tpu.data.loader import pad_points_np
+
     cap = cfg.pyramid.caps[0]
-    rp = np.full((cap, 3), 1e9, np.float32)
-    n_ref = min(len(ref_points), cap)
-    rp[:n_ref] = ref_points[:n_ref]
-    sp = np.full((cap, 3), 1e9, np.float32)
-    n_src = min(len(src_points), cap)
-    sp[:n_src] = src_points[:n_src]
-    return rp, np.int32(n_ref), sp, np.int32(n_src)
+    rp, n_ref = pad_points_np(ref_points, cap)
+    sp, n_src = pad_points_np(src_points, cap)
+    return rp, n_ref, sp, n_src
 
 
 def make_forward(cfg: Config, model, with_gt: bool):

@@ -99,7 +99,6 @@ def teaser_np(src, ref):
     tf[:3, :3] = sol.rotation
     tf[:3, 3] = sol.translation
     return tf
-    return tf
 
 
 def main():
@@ -153,11 +152,11 @@ def main():
             d["gt_node_corr_indices"],
         )
         coarse_meter.update("precision", c["precision"])
-        for tier, thr in [(">0", 0.0), (">=0.1", 0.1), (">=0.3", 0.3), (">=0.5", 0.5)]:
-            coarse_meter.update(
-                f"PMR{tier}",
-                float(c["precision"] > thr),
-            )
+        # reference tiers (eval.py:144-147): strict > only for the 0 tier,
+        # >= for the named thresholds (a pair at exactly 0.5 counts)
+        coarse_meter.update("PMR>0", float(c["precision"] > 0.0))
+        for thr in (0.1, 0.3, 0.5):
+            coarse_meter.update(f"PMR>={thr}", float(c["precision"] >= thr))
 
         # fine metrics
         f = evaluate_correspondences(
@@ -231,7 +230,10 @@ def main():
     print(
         f"reg:    RR: {reg_meter.mean('recall') * 100:.2f}%, "
         f"RRE: {np.mean(accepted_rre) if accepted_rre else float('nan'):.4f} deg, "
-        f"RTE: {np.mean(accepted_rte) * 100 if accepted_rte else float('nan'):.2f} cm"
+        f"RTE: {np.mean(accepted_rte) * 100 if accepted_rte else float('nan'):.2f} cm, "
+        # per-axis means over accepted pairs (reference eval.py:283-285)
+        f"Rx: {reg_meter.mean('rx'):.3f}, Ry: {reg_meter.mean('ry'):.3f}, "
+        f"Rz: {reg_meter.mean('rz'):.3f}"
     )
     if fail_cases:
         print("failed pairs:", fail_cases)

@@ -73,8 +73,13 @@ def main():
 
         name = f"{item['seq_id']}_{item['src_frame']}_{item['ref_frame']}"
         np.savez_compressed(osp.join(args.output_dir, name + ".npz"), **dumped)
-        # KITTI 12-float pose line (reference infer.py:68-110)
-        pose_lines.append(" ".join(f"{v:.6f}" for v in est[:3].reshape(-1)))
+        # pose line = 'ref_frame src_frame' + 12 transform floats
+        # (reference infer.py:73 — tools for its pose files expect the two
+        # frame ids first)
+        pose_lines.append(
+            f"{item['ref_frame']} {item['src_frame']} "
+            + " ".join(f"{v:.6f}" for v in est[:3].reshape(-1))
+        )
         print(
             f"pair {item['src_frame']}->{item['ref_frame']}: "
             f"{len(dumped['corr_scores'])} correspondences\n{est}"

@@ -357,9 +357,30 @@ class Config:
         return dataclasses.replace(self, **kwargs)
 
 
+def check_geometry_consistent(cfg: Config) -> None:
+    """Pyramid and backbone carry coupled geometry constants — a partial
+    override (e.g. pyramid.voxel_size without search_radius and
+    backbone.init_voxel_size) silently desyncs the voxel grid, the
+    neighbor-search radius and the KPConv radii. Raise instead."""
+    if abs(cfg.pyramid.voxel_size - cfg.backbone.init_voxel_size) > 1e-9:
+        raise ValueError(
+            f"pyramid.voxel_size={cfg.pyramid.voxel_size} != "
+            f"backbone.init_voxel_size={cfg.backbone.init_voxel_size}: "
+            "override both together"
+        )
+    expected = cfg.backbone.base_radius * cfg.backbone.init_voxel_size
+    if abs(cfg.pyramid.search_radius - expected) > 1e-6:
+        raise ValueError(
+            f"pyramid.search_radius={cfg.pyramid.search_radius} != "
+            f"base_radius*voxel_size={expected}: override in lockstep"
+        )
+
+
 def make_cfg(**overrides) -> Config:
     """Build the default KITTI config (reference: config.py:187 make_cfg)."""
-    return Config(**overrides)
+    cfg = Config(**overrides)
+    check_geometry_consistent(cfg)
+    return cfg
 
 
 def make_parity_cfg(**overrides) -> Config:

@@ -30,13 +30,19 @@ class CheckpointManager:
             state=ocp.args.StandardSave(state),
             metadata=ocp.args.JsonSave(metadata or {}),
         )
+        # async: the write overlaps the next epoch's compute; readers
+        # (latest_step/restore/close) synchronize before touching disk state
         self._mgr.save(step, args=args)
+
+    def wait_until_finished(self):
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Tuple[Any, dict]:
+        self._mgr.wait_until_finished()
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")

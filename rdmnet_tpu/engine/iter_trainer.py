@@ -81,3 +81,5 @@ class IterBasedTrainer(Trainer):
                     self.iteration, jax.device_get(self.state),
                     metadata={"iteration": self.iteration},
                 )
+        # async snapshot writes must land before the process exits
+        self.snapshots.wait_until_finished()

@@ -212,3 +212,5 @@ class Trainer:
             self.logger.info(
                 f"epoch {self.epoch} done in {time.time() - t0:.1f}s; snapshot saved"
             )
+        # async snapshot writes must land before the process exits
+        self.snapshots.wait_until_finished()
