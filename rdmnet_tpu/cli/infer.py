@@ -21,6 +21,14 @@ from rdmnet_tpu.cli.common import build_model_and_params, make_forward, pad_pair
 from rdmnet_tpu.data.datasets import RegistrationPairDataset
 
 
+def format_pose_line(ref_frame: int, src_frame: int, est: np.ndarray) -> str:
+    """'ref_frame src_frame' + 12 transform floats, the reference's
+    14-field pose-file line (reference infer.py:73)."""
+    return f"{ref_frame} {src_frame} " + " ".join(
+        f"{v:.6f}" for v in np.asarray(est)[:3].reshape(-1)
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--snapshot_dir", default=None)
@@ -73,12 +81,8 @@ def main():
 
         name = f"{item['seq_id']}_{item['src_frame']}_{item['ref_frame']}"
         np.savez_compressed(osp.join(args.output_dir, name + ".npz"), **dumped)
-        # pose line = 'ref_frame src_frame' + 12 transform floats
-        # (reference infer.py:73 — tools for its pose files expect the two
-        # frame ids first)
         pose_lines.append(
-            f"{item['ref_frame']} {item['src_frame']} "
-            + " ".join(f"{v:.6f}" for v in est[:3].reshape(-1))
+            format_pose_line(item["ref_frame"], item["src_frame"], est)
         )
         print(
             f"pair {item['src_frame']}->{item['ref_frame']}: "

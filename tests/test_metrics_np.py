@@ -47,3 +47,20 @@ class TestChamfer:
         pts = rng.rand(100, 3).astype(np.float64)
         d = modified_chamfer_distance(pts, pts, pts, np.eye(4), np.eye(4))
         assert d == pytest.approx(0.0, abs=1e-12)
+
+
+class TestPoseLineFormat:
+    def test_fourteen_fields_frames_first(self):
+        """Pin the reference's pose-file line (reference infer.py:73):
+        ref_frame, src_frame, then the 12 row-major transform floats —
+        reference-built tools parse frame ids from the first two fields."""
+        from rdmnet_tpu.cli.infer import format_pose_line
+
+        est = np.arange(16, dtype=np.float64).reshape(4, 4) / 7.0
+        line = format_pose_line(4, 0, est)
+        parts = line.split()
+        assert len(parts) == 14
+        assert parts[0] == "4" and parts[1] == "0"
+        np.testing.assert_allclose(
+            np.array(parts[2:], np.float64), est[:3].reshape(-1), atol=1e-6
+        )
