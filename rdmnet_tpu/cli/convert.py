@@ -1,0 +1,98 @@
+"""One-shot reference-checkpoint conversion: torch .pth.tar -> orbax snapshot.
+
+The test/infer CLIs can load a reference checkpoint directly with
+``--torch_checkpoint`` (conversion happens at every startup and requires
+torch installed). This CLI converts ONCE into the framework's native
+snapshot layout (engine/checkpoint.CheckpointManager), after which any
+snapshot consumer works without torch:
+
+    python -m rdmnet_tpu.cli.convert \
+        --torch_checkpoint weights/rdmnet.pth.tar --output_dir out/converted
+    python -m rdmnet_tpu.cli.test --snapshot_dir out/converted --parity_cfg ...
+
+Converted weights are only meaningful under the reference-faithful parity
+config (calibrated neighbor limits, exact search, per-layer kernel
+dispositions — see config.make_parity_cfg and STATUS.md round-2 #11), so
+the snapshot must be consumed with ``--parity_cfg``; this CLI stores that
+requirement in the snapshot metadata as a reminder.
+
+Reference checkpoint schema: engine/base_trainer.py:113-138 ('model' state
+dict + epoch/iteration metadata, 'module.' prefixes under DDP).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+
+def convert_checkpoint(cfg, torch_checkpoint: str, output_dir: str,
+                       epoch=None, requires_parity_cfg: bool = True) -> int:
+    """Convert ``torch_checkpoint`` and write an orbax snapshot into
+    ``output_dir``; returns the snapshot step."""
+    import torch
+
+    from rdmnet_tpu.cli.common import build_model_and_params
+    from rdmnet_tpu.engine.checkpoint import CheckpointManager
+    from rdmnet_tpu.engine.train_step import TrainState, create_optimizer
+
+    blob = torch.load(torch_checkpoint, map_location="cpu")
+    if epoch is None:
+        epoch = int(blob.get("epoch", 0)) if isinstance(blob, dict) else 0
+
+    model, params = build_model_and_params(cfg, torch_checkpoint=torch_checkpoint)
+    # wrap in a TrainState (fresh optimizer state) so the standard
+    # snapshot-restore path (cli/common.build_model_and_params) consumes it
+    tx, _ = create_optimizer(cfg, steps_per_epoch=1000)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    mgr = CheckpointManager(output_dir)
+    mgr.save(
+        epoch,
+        jax.device_get(state),
+        metadata={
+            "epoch": epoch,
+            "source": torch_checkpoint,
+            "requires_parity_cfg": requires_parity_cfg,
+        },
+    )
+    mgr.wait_until_finished()
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    print(
+        f"converted {torch_checkpoint} -> {output_dir} "
+        f"(step {epoch}, {n_params / 1e6:.1f}M params); consume with "
+        + ("--parity_cfg" if requires_parity_cfg else "the default config")
+    )
+    return epoch
+
+
+def main():
+    # conversion is pure host work: key mapping + optimizer-state zeros +
+    # an orbax write. Running it on the remote TPU pays per-op tunnel
+    # dispatch for every eager tree op (minutes); force CPU before any
+    # device use (the env var alone is ignored under the axon plugin).
+    jax.config.update("jax_platforms", "cpu")
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--torch_checkpoint", required=True)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument(
+        "--epoch", type=int, default=None,
+        help="snapshot step label (default: the checkpoint's own epoch, or 0)",
+    )
+    parser.add_argument("--no_parity_cfg", action="store_true")
+    args = parser.parse_args()
+
+    from rdmnet_tpu.config import make_cfg, make_parity_cfg
+
+    cfg = make_cfg() if args.no_parity_cfg else make_parity_cfg()
+    convert_checkpoint(
+        cfg, args.torch_checkpoint, args.output_dir,
+        epoch=args.epoch, requires_parity_cfg=not args.no_parity_cfg,
+    )
+
+
+if __name__ == "__main__":
+    main()

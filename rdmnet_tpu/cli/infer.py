@@ -38,9 +38,15 @@ def main():
     parser.add_argument("--ransac_iterations", type=int, default=50000)
     parser.add_argument("--torch_checkpoint", default=None)
     parser.add_argument("--no_parity_cfg", action="store_true")
+    parser.add_argument(
+        "--parity_cfg", action="store_true",
+        help="use the reference-faithful parity config without a torch "
+             "checkpoint (required when consuming a snapshot written by "
+             "cli/convert)",
+    )
     args = parser.parse_args()
 
-    if args.torch_checkpoint and not args.no_parity_cfg:
+    if args.parity_cfg or (args.torch_checkpoint and not args.no_parity_cfg):
         from rdmnet_tpu.config import make_parity_cfg
 
         cfg = make_parity_cfg()

@@ -49,10 +49,16 @@ def main():
     # search, per-layer kernels) unless --no_parity_cfg
     parser.add_argument("--torch_checkpoint", default=None)
     parser.add_argument("--no_parity_cfg", action="store_true")
+    parser.add_argument(
+        "--parity_cfg", action="store_true",
+        help="use the reference-faithful parity config without a torch "
+             "checkpoint (required when consuming a snapshot written by "
+             "cli/convert)",
+    )
     args = parser.parse_args()
     assert 0 <= args.shard_id < args.num_shards
 
-    if args.torch_checkpoint and not args.no_parity_cfg:
+    if args.parity_cfg or (args.torch_checkpoint and not args.no_parity_cfg):
         from rdmnet_tpu.config import make_parity_cfg
 
         cfg = make_parity_cfg()

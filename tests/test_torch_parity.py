@@ -722,3 +722,49 @@ class TestAPETransformerParity:
         )
         np.testing.assert_allclose(np.asarray(j_ref), t2n(t_ref)[0], rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(j_src), t2n(t_src)[0], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+class TestConvertCLI:
+    def test_convert_checkpoint_roundtrip(self, tmp_path):
+        """cli/convert writes an orbax snapshot from a reference .pth.tar
+        that the standard CheckpointManager path restores, with the torch
+        weights mapped onto the flax tree (spot-checked leaf-for-leaf)."""
+        import sys
+
+        sys.path.insert(0, "/root/reference/experiments")
+        from model_infer import create_model
+        from config import make_cfg as ref_make_cfg
+
+        from rdmnet_tpu.cli.convert import convert_checkpoint
+        from rdmnet_tpu.config import make_parity_cfg
+        from rdmnet_tpu.engine.checkpoint import CheckpointManager
+        from rdmnet_tpu.cli.common import build_model_and_params
+        from rdmnet_tpu.engine.train_step import TrainState, create_optimizer
+
+        ref_cfg = ref_make_cfg()
+        # injected at runtime by the reference CLIs (trainval.py:22)
+        ref_cfg.neighbor_limits = [65, 63, 69, 71, 81]
+        tm = create_model(ref_cfg)
+        sd = tm.state_dict()
+        blob_path = str(tmp_path / "ref.pth.tar")
+        torch.save({"model": sd, "epoch": 42}, blob_path)
+
+        cfg = make_parity_cfg()
+        out_dir = str(tmp_path / "snap")
+        step = convert_checkpoint(cfg, blob_path, out_dir)
+        assert step == 42
+
+        # restore through the standard manager using a same-shape template
+        model, params = build_model_and_params(cfg, torch_checkpoint=blob_path)
+        tx, _ = create_optimizer(cfg, steps_per_epoch=1000)
+        template = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+        mgr = CheckpointManager(out_dir)
+        restored, meta = mgr.restore(template, step=42)
+        assert meta["epoch"] == 42 and meta["requires_parity_cfg"] is True
+
+        got = np.asarray(
+            restored.params["params"]["transformer"]["in_proj"]["kernel"]
+        )
+        want = t2n(sd["transformer.in_proj.weight"]).T
+        np.testing.assert_array_equal(got, want)
