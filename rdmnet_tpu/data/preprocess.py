@@ -140,14 +140,25 @@ class DatasetAdapter:
         self.dataset = dataset
         self.root = root
 
+    # lazy lambdas: building every pattern eagerly would crash on the
+    # datasets whose seq type differs (mulran uses string sequence names)
+    _SCAN_GLOBS = {
+        "kitti": lambda seq: f"sequences/{seq:02d}/velodyne/*.bin",
+        "kitti360": lambda seq: f"data_3d_raw/2013_05_28_drive_{seq:04d}_sync/velodyne_points/data/*.bin",
+        "apollo": lambda seq: f"kitti_format/MapData/ColumbiaPark/2018-09-21/{seq:02d}/velodyne/*.bin",
+        "mulran": lambda seq: f"{seq}/sensor_data/Ouster/*.bin",
+    }
+    _SCAN_PATHS = {
+        "kitti": lambda seq, frame: f"sequences/{seq:02d}/velodyne/{frame:06d}.bin",
+        "kitti360": lambda seq, frame: f"data_3d_raw/2013_05_28_drive_{seq:04d}_sync/velodyne_points/data/{frame:010d}.bin",
+        "apollo": lambda seq, frame: f"kitti_format/MapData/ColumbiaPark/2018-09-21/{seq:02d}/velodyne/{frame:06d}.bin",
+        "mulran": lambda seq, frame: f"{seq}/sensor_data/Ouster/{frame:d}.bin",
+    }
+
     def scan_paths(self, seq):
-        pats = {
-            "kitti": f"sequences/{seq:02d}/velodyne/*.bin",
-            "kitti360": f"data_3d_raw/2013_05_28_drive_{seq:04d}_sync/velodyne_points/data/*.bin",
-            "apollo": f"kitti_format/MapData/ColumbiaPark/2018-09-21/{seq:02d}/velodyne/*.bin",
-            "mulran": f"{seq}/sensor_data/Ouster/*.bin",
-        }
-        return sorted(glob.glob(osp.join(self.root, pats[self.dataset])))
+        return sorted(
+            glob.glob(osp.join(self.root, self._SCAN_GLOBS[self.dataset](seq)))
+        )
 
     def frame_ids(self, seq):
         return sorted(
@@ -155,13 +166,7 @@ class DatasetAdapter:
         )
 
     def scan_path(self, seq, frame):
-        pats = {
-            "kitti": f"sequences/{seq:02d}/velodyne/{frame:06d}.bin",
-            "kitti360": f"data_3d_raw/2013_05_28_drive_{seq:04d}_sync/velodyne_points/data/{frame:010d}.bin",
-            "apollo": f"kitti_format/MapData/ColumbiaPark/2018-09-21/{seq:02d}/velodyne/{frame:06d}.bin",
-            "mulran": f"{seq}/sensor_data/Ouster/{frame:d}.bin",
-        }
-        return osp.join(self.root, pats[self.dataset])
+        return osp.join(self.root, self._SCAN_PATHS[self.dataset](seq, frame))
 
     def poses_and_calib(self, seq):
         """Returns (frame->pose-row mapping array or None, poses (N,4,4),
