@@ -1,0 +1,136 @@
+"""AOT serving export: the end-to-end inference pipeline as a portable
+StableHLO artifact.
+
+A TPU-native deployment path the reference has no analogue for (its
+serving story is "run the torch module from source"): ``export_inference``
+ahead-of-time lowers the FULL jitted pipeline — on-device pyramid build +
+model forward + LGR pose solve — with :mod:`jax.export`, and writes a
+three-file artifact directory:
+
+* ``model.stablehlo``  — the serialized exported function (can be lowered
+  for several platforms at once, e.g. ``("tpu", "cpu")``);
+* ``weights.npz``      — the flattened parameter arrays, index-keyed;
+* ``serving.json``     — input capacity, dtypes, output names, platforms.
+
+``load_exported`` reconstructs a ready-to-call ``serve(ref_points,
+src_points)`` closure from that directory alone — no flax, no model code,
+no config system; just jax + numpy. Consumers filter fine correspondences
+by ``corr_scores > 0`` (the padded-static output convention, same as
+cli/common.trim_outputs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+SERVE_OUTPUTS = (
+    "estimated_transform",
+    "ref_corr_points",
+    "src_corr_points",
+    "corr_scores",
+)
+
+PAD_COORD = 1.0e9  # data/loader.pad_points_np convention
+
+
+def _pad_np(points: np.ndarray, cap: int) -> Tuple[np.ndarray, np.int32]:
+    n = min(len(points), cap)
+    out = np.full((cap, 3), PAD_COORD, np.float32)
+    out[:n] = points[:n, :3]
+    return out, np.int32(n)
+
+
+def export_inference(
+    cfg, params, out_dir: str, platforms: Sequence[str] = ("tpu", "cpu")
+) -> None:
+    """AOT-export the GT-free inference pipeline for ``platforms``.
+
+    ``params`` is the model variable tree (as returned by
+    cli/common.build_model_and_params). The exported function signature is
+    ``(flat_params, ref_padded, ref_count, src_padded, src_count) ->
+    {SERVE_OUTPUTS}`` with static level-0 capacity ``cfg.pyramid.caps[0]``.
+    """
+    from rdmnet_tpu.graph.pyramid import build_pair_batch
+    from rdmnet_tpu.models import RDMNet
+
+    model = RDMNet(cfg)
+    flat, treedef = jax.tree_util.tree_flatten(params)
+    # the fused Pallas Sinkhorn only lowers for real TPUs; a portable
+    # (multi-platform) artifact must take the lax.scan path (~ms-level
+    # cost difference at inference)
+    use_pallas = list(platforms) == ["tpu"]
+
+    def serve(flat_params, rp, rc, sp, sc):
+        p = jax.tree_util.tree_unflatten(treedef, flat_params)
+        with jax.default_matmul_precision(cfg.eval_matmul_precision):
+            batch = build_pair_batch(
+                rp, rc, sp, sc, jnp.eye(4, dtype=jnp.float32), cfg.pyramid
+            )
+            out = model.apply(
+                p, batch, training=False, with_gt=False,
+                use_pallas_sinkhorn=use_pallas,
+            )
+        return {k: out[k] for k in SERVE_OUTPUTS}
+
+    cap = int(cfg.pyramid.caps[0])
+    arg_specs = (
+        [jax.ShapeDtypeStruct(np.shape(x), x.dtype) for x in flat],
+        jax.ShapeDtypeStruct((cap, 3), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((cap, 3), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    )
+    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(
+        *arg_specs
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(osp.join(out_dir, "model.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+    np.savez(
+        osp.join(out_dir, "weights.npz"),
+        **{f"w{i}": np.asarray(x) for i, x in enumerate(flat)},
+    )
+    meta = {
+        "cap": cap,
+        "n_weights": len(flat),
+        "outputs": list(SERVE_OUTPUTS),
+        "platforms": list(platforms),
+        "pad_coord": PAD_COORD,
+    }
+    with open(osp.join(out_dir, "serving.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_exported(out_dir: str):
+    """Rebuild a callable from an export_inference artifact directory.
+
+    Returns ``(serve, meta)`` where ``serve(ref_points, src_points)`` takes
+    raw (N, >=3) float clouds, pads/truncates them to the exported capacity
+    on the host, and returns the output dict (padded static shapes; filter
+    by ``corr_scores > 0``).
+    """
+    with open(osp.join(out_dir, "serving.json")) as f:
+        meta = json.load(f)
+    with open(osp.join(out_dir, "model.stablehlo"), "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    weights = np.load(osp.join(out_dir, "weights.npz"))
+    flat = [weights[f"w{i}"] for i in range(meta["n_weights"])]
+    call = jax.jit(exported.call)
+    cap = meta["cap"]
+
+    def serve(ref_points: np.ndarray, src_points: np.ndarray) -> Dict[str, np.ndarray]:
+        rp, rc = _pad_np(np.asarray(ref_points, np.float32), cap)
+        sp, sc = _pad_np(np.asarray(src_points, np.float32), cap)
+        out = call(flat, rp, rc, sp, sc)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    return serve, meta
