@@ -123,7 +123,10 @@ def load_exported(out_dir: str):
     with open(osp.join(out_dir, "model.stablehlo"), "rb") as f:
         exported = jax_export.deserialize(f.read())
     weights = np.load(osp.join(out_dir, "weights.npz"))
-    flat = [weights[f"w{i}"] for i in range(meta["n_weights"])]
+    # resident on device once at load time: passing numpy arrays would
+    # re-transfer the full ~100 MB parameter set on EVERY request
+    # (measured 4.4 s/request vs ~0.1 s with resident weights)
+    flat = jax.device_put([weights[f"w{i}"] for i in range(meta["n_weights"])])
     call = jax.jit(exported.call)
     cap = meta["cap"]
 

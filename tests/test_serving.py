@@ -1,5 +1,7 @@
 """Serving-export round trip: AOT artifact == live pipeline."""
 
+import json
+
 import numpy as np
 import pytest
 import jax
@@ -36,6 +38,63 @@ def test_export_round_trip(tmp_path, rng):
             out[k], np.asarray(live[k]), atol=1e-5,
             err_msg=f"artifact output {k} diverges from live pipeline",
         )
+
+
+@pytest.mark.slow
+def test_http_server_round_trip(tmp_path, rng):
+    """rdmnet-serve: export an artifact, serve it, register a pair over
+    HTTP, and verify the response matches calling the artifact directly."""
+    import io
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from rdmnet_tpu.cli.common import build_model_and_params
+    from rdmnet_tpu.cli.serve import make_handler
+
+    cfg = make_tiny_cfg()
+    _, params = build_model_and_params(cfg)
+    out_dir = str(tmp_path / "artifact")
+    export_inference(cfg, params, out_dir, platforms=("cpu",))
+    serve_fn, meta = load_exported(out_dir)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(serve_fn, meta))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(url + "/healthz") as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["cap"] == cfg.pyramid.caps[0]
+
+        ref = (rng.rand(300, 3) * 20).astype(np.float32)
+        src = (rng.rand(280, 3) * 20).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, ref_points=ref, src_points=src)
+        req = urllib.request.Request(url + "/register", data=buf.getvalue())
+        with urllib.request.urlopen(req) as r:
+            out = dict(np.load(io.BytesIO(r.read())))
+
+        direct = serve_fn(ref, src)
+        np.testing.assert_allclose(
+            out["estimated_transform"], direct["estimated_transform"], atol=1e-6
+        )
+        sel = direct["corr_scores"] > 0
+        assert len(out["corr_scores"]) == int(sel.sum())
+
+        # malformed body -> 400, server stays alive
+        bad = urllib.request.Request(url + "/register", data=b"not an npz")
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(url + "/healthz") as r:
+            health = json.loads(r.read())
+        assert health["requests"] == 1 and health["errors"] == 1
+    finally:
+        server.shutdown()
 
 
 @pytest.mark.slow
