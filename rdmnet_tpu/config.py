@@ -35,8 +35,14 @@ class PyramidConfig:
     # Per-level static neighbor counts (stands in for the reference's
     # calibrated `neighbor_limits`; typical calibrated KITTI values are ~35-40).
     neighbor_limits: Tuple[int, ...] = (40, 40, 40, 40, 40)
-    # Upsampling tables at level i use neighbor_limits[i + 1] in the reference
-    # (geotransformer/utils/data.py:59-66); we keep that convention.
+    # Upsampling-table width. The decoder consumes ONLY column 0
+    # (nearest_upsample, reference functional.py:6-22), so the default
+    # searches a single exact nearest neighbor — identical decoder inputs
+    # at a fraction of the top-k work. None restores the reference's full
+    # neighbor_limits[i + 1] tables (geotransformer/utils/data.py:59-66),
+    # needed only when consuming the tables externally (e.g. oracle tests
+    # or knn_interpolate-style custom heads).
+    upsampling_limit: Optional[int] = 1
     # TPU-accelerated approximate top-k for the neighbor search (None = exact;
     # recall applies to the farthest in-radius neighbors only — measured 12x
     # faster than exact top_k on the 30k-point level; disabled automatically

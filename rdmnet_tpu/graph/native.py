@@ -138,7 +138,7 @@ def build_pyramid_native(points: np.ndarray, spec, pad_coord: float = 1.0e9):
                 counts[lvl], radius, k, sentinel=spec.caps[lvl],
             )
             subsampling.append(sub)
-            k_up = spec.neighbor_limits[lvl + 1]
+            k_up = spec.upsampling_limit or spec.neighbor_limits[lvl + 1]
             up = np.full((spec.caps[lvl], k_up), spec.caps[lvl + 1], np.int32)
             if lvl >= spec.build_upsampling_from_level:
                 up[: counts[lvl]] = radius_knn_native(

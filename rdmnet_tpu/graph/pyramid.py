@@ -9,7 +9,9 @@ three padded index tables:
 * ``subsampling[i]`` — level-(i+1) points' radius neighbors within level i
   (pooling table for strided KPConv),
 * ``upsampling[i]``  — level-i points' radius·2 neighbors within level i+1
-  (nearest-upsample table for the decoder),
+  (nearest-upsample table for the decoder; width
+  ``upsampling_limit or K_{i+1}`` — the decoder consumes only column 0,
+  so the default builds single-column exact-nearest tables),
 
 with the same radius-doubling schedule and sentinel-index padding. The
 reference runs this on CPU in DataLoader workers over a kd-tree; here the
@@ -42,7 +44,7 @@ class CloudPyramid:
     counts: Tuple[jnp.ndarray, ...]       # level i: () int32
     neighbors: Tuple[jnp.ndarray, ...]    # level i: (cap_i, K_i) into level i
     subsampling: Tuple[jnp.ndarray, ...]  # i: (cap_{i+1}, K_i) into level i
-    upsampling: Tuple[jnp.ndarray, ...]   # i: (cap_i, K_{i+1}) into level i+1
+    upsampling: Tuple[jnp.ndarray, ...]   # i: (cap_i, upsampling_limit or K_{i+1}) into level i+1
     # capacity-overflow telemetry: (num_stages,) int32 points/voxels dropped
     # per level (level 0 = host truncation, fill via build_pair_batch) plus
     # banded-search window overflow at that support level; 0 = exact caps
@@ -220,18 +222,22 @@ def build_cloud_pyramid(
     # `dropped` telemetry. The sort-cell and chunk rules live on
     # PyramidConfig so data/calibration.py stays in lockstep.
     def search(q_lvl: int, s_lvl: int, r: float, k: int):
+        # k=1 (upsampling_limit): exact argmin — approx top-k trades recall
+        # on the FARTHEST neighbors, which is immaterial at k>=limit but
+        # would be a 1-recall_target chance of missing the true nearest
+        recall = spec.approx_recall if k > 1 else None
         band = spec.band_caps[s_lvl]
         if band is None or band >= spec.caps[s_lvl]:
             return (
                 radius_knn(pts[q_lvl], pts[s_lvl], cnts[s_lvl], r, k,
-                           approx_recall=spec.approx_recall),
+                           approx_recall=recall),
                 jnp.int32(0),
             )
         return radius_knn_banded(
             pts[q_lvl], pts[s_lvl], cnts[s_lvl], r, k,
             cell=spec.sort_cell(s_lvl), band_cap=band, q_count=cnts[q_lvl],
             chunk_size=spec.band_chunk_for(q_lvl),
-            approx_recall=spec.approx_recall,
+            approx_recall=recall,
             return_overflow=True,
         )
 
@@ -248,9 +254,9 @@ def build_cloud_pyramid(
             sub, ov = search(i + 1, i, radius, spec.neighbor_limits[i])
             subsampling.append(sub)
             band_over[i] = band_over[i] + ov
+            k_up = spec.upsampling_limit or spec.neighbor_limits[i + 1]
             if i >= spec.build_upsampling_from_level:
-                up, ov = search(i, i + 1, radius * 2.0,
-                                spec.neighbor_limits[i + 1])
+                up, ov = search(i, i + 1, radius * 2.0, k_up)
                 upsampling.append(up)
                 band_over[i + 1] = band_over[i + 1] + ov
             else:
@@ -258,7 +264,7 @@ def build_cloud_pyramid(
                 # keeps the pytree structure stable at zero compute
                 upsampling.append(
                     jnp.full(
-                        (spec.caps[i], spec.neighbor_limits[i + 1]),
+                        (spec.caps[i], k_up),
                         spec.caps[i + 1],
                         jnp.int32,
                     )

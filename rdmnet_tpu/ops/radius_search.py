@@ -41,6 +41,12 @@ def _chunk_knn(q_chunk, s_points, s_sq, s_invalid_col, radius_sq, k, approx_reca
     sq_dist = jnp.where(s_invalid_col[None, :], _BIG, sq_dist)
     sq_dist = jnp.where(sq_dist > radius_sq, _BIG, sq_dist)
     # top_k of negated distances -> ascending distance order (C++ parity).
+    if k == 1:
+        # plain reduction: measured faster than both top_k(1) and the
+        # PartialReduce emitter at k=1 (and exact, which k=1 requires)
+        idx = jnp.argmin(sq_dist, axis=1)[:, None].astype(jnp.int32)
+        best = jnp.take_along_axis(sq_dist, idx, axis=1)
+        return jnp.where(best >= _BIG, s_points.shape[0], idx)
     if approx_recall is None:
         neg_top, idx = jax.lax.top_k(-sq_dist, k)
     else:

@@ -15,6 +15,7 @@ SPEC = PyramidConfig(
     caps=(256, 128, 64),
     neighbor_limits=(12, 12, 12),
     build_upsampling_from_level=0,  # build all tables for oracle checks
+    upsampling_limit=None,          # full-width tables for oracle checks
 )
 
 
@@ -119,6 +120,48 @@ class TestUpsamplingSkip:
         assert np.all(np.asarray(pyr.upsampling[0]) == 128)
         # level-1 table still real
         assert (np.asarray(pyr.upsampling[1]) < 64).any()
+
+
+class TestUpsamplingLimit:
+    def test_single_column_equals_full_table_nearest(self, rng):
+        """upsampling_limit=1 (runtime default) must yield exactly the
+        first column of the reference-width table: the decoder's
+        nearest_upsample reads only column 0, so these are provably
+        identical decoder inputs."""
+        import dataclasses
+
+        full = dataclasses.replace(SPEC, approx_recall=None)
+        slim = dataclasses.replace(SPEC, approx_recall=None, upsampling_limit=1)
+        pts = (rng.rand(200, 3) * 8).astype(np.float32)
+        padded, cnt = pad_cloud(jnp.asarray(pts), 256)
+        pyr_full = build_cloud_pyramid(padded, cnt, full)
+        pyr_slim = build_cloud_pyramid(padded, cnt, slim)
+        for i in range(2):
+            assert pyr_slim.upsampling[i].shape[1] == 1
+            np.testing.assert_array_equal(
+                np.asarray(pyr_slim.upsampling[i])[:, 0],
+                np.asarray(pyr_full.upsampling[i])[:, 0],
+            )
+
+    def test_k1_search_is_exact_under_approx_recall(self, rng):
+        """With approx_recall set (runtime default), the k=1 upsampling
+        search must still be the EXACT nearest (approx top-k only trades
+        recall on the farthest neighbors, never acceptable at k=1)."""
+        import dataclasses
+
+        slim_approx = dataclasses.replace(SPEC, upsampling_limit=1)
+        slim_exact = dataclasses.replace(
+            SPEC, approx_recall=None, upsampling_limit=1
+        )
+        assert slim_approx.approx_recall is not None
+        pts = (rng.rand(220, 3) * 8).astype(np.float32)
+        padded, cnt = pad_cloud(jnp.asarray(pts), 256)
+        a = build_cloud_pyramid(padded, cnt, slim_approx)
+        b = build_cloud_pyramid(padded, cnt, slim_exact)
+        for i in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(a.upsampling[i]), np.asarray(b.upsampling[i])
+            )
 
 
 class TestPairBatch:
