@@ -44,6 +44,11 @@ def main():
              "checkpoint (required when consuming a snapshot written by "
              "cli/convert)",
     )
+    parser.add_argument(
+        "--coarse_module", default=None,
+        choices=["thdroformer", "geotransformer", "ape"],
+        help="coarse transformer family (ablation; default thdroformer)",
+    )
     args = parser.parse_args()
 
     if args.parity_cfg or (args.torch_checkpoint and not args.no_parity_cfg):
@@ -52,6 +57,12 @@ def main():
         cfg = make_parity_cfg()
     else:
         cfg = make_cfg()
+    if args.coarse_module is not None:
+        import dataclasses
+
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, coarse_module=args.coarse_module)
+        )
     os.makedirs(args.output_dir, exist_ok=True)
 
     dataset = RegistrationPairDataset(

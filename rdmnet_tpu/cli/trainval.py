@@ -41,6 +41,11 @@ def main():
         "--multihost", action="store_true",
         help="initialize jax.distributed for a multi-host pod slice",
     )
+    parser.add_argument(
+        "--coarse_module", default=None,
+        choices=["thdroformer", "geotransformer", "ape"],
+        help="coarse transformer family (ablation; default thdroformer)",
+    )
     parser.add_argument("--coordinator_address", default=None)
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
@@ -64,6 +69,10 @@ def main():
         cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, max_epoch=args.max_epoch))
     if args.dp is not None:
         cfg = cfg.replace(parallel=dataclasses.replace(cfg.parallel, dp=args.dp))
+    if args.coarse_module is not None:
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, coarse_module=args.coarse_module)
+        )
     batch_size = args.batch_size or cfg.train.batch_size
 
     import jax

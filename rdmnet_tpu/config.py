@@ -150,6 +150,12 @@ class ModelConfig:
     ground_truth_corres_radius: float = 2.4
     n2p_score_threshold: float = 0.1
     p2p_score_threshold: float = 0.1
+    # Coarse transformer family: "thdroformer" (RDMNet default),
+    # "geotransformer" (the original GeoTransformer RPE stack the reference
+    # keeps as its ablation alternative — import commented at
+    # experiments/model.py:9-14, params live at config.py:139-148), or
+    # "ape" (absolute-PE ablation, thdroformer.py:368-448).
+    coarse_module: str = "thdroformer"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,7 +27,8 @@ from rdmnet_tpu.graph.pyramid import PairBatch, stack_pair_graph
 from rdmnet_tpu.nn.backbone import Decoder, Encoder
 from rdmnet_tpu.nn.matching import superpoint_matching, superpoint_target_sample
 from rdmnet_tpu.nn.sinkhorn import LearnableLogOptimalTransport
-from rdmnet_tpu.nn.thdroformer import ThDRoFormer
+from rdmnet_tpu.nn.geotransformer import GeometricTransformer
+from rdmnet_tpu.nn.thdroformer import APETransformer, ThDRoFormer
 from rdmnet_tpu.nn.vote import VoteLayer
 from rdmnet_tpu.ops.correspondences import (
     mutual_nearest_node_masks,
@@ -37,6 +38,36 @@ from rdmnet_tpu.ops.geometry import take_padded
 from rdmnet_tpu.ops.lgr import local_to_global_registration
 from rdmnet_tpu.ops.nms import greedy_nms
 from rdmnet_tpu.ops.partition import point_to_node_partition
+
+
+def _coarse_transformer(cfg: Config, stage: int, dtype):
+    """Coarse transformer family selector (cfg.model.coarse_module):
+    stage 1 runs on the encoder's coarse features, stage 2 on the voted
+    NMS-survivor nodes. All variants share the call signature
+    ``(ref_points, src_points, ref_feats, src_feats, ref_valid, src_valid)``.
+    """
+    kind = cfg.model.coarse_module
+    td = cfg.thdroformer
+    in_dim = td.input_dim if stage == 1 else td.input_dim2
+    layers = td.num_layers if stage == 1 else td.num_layers2
+    name = "transformer" if stage == 1 else "transformer2"
+    if kind == "thdroformer":
+        return ThDRoFormer(
+            in_dim, td.output_dim, td.hidden_dim, td.num_heads, layers,
+            k=None if stage == 1 else td.k2, dtype=dtype, name=name,
+        )
+    if kind == "geotransformer":
+        g = cfg.geotransformer
+        return GeometricTransformer(
+            in_dim, g.output_dim, g.hidden_dim, g.num_heads, g.blocks,
+            g.sigma_d, g.sigma_a, g.angle_k, g.reduction_a, name=name,
+        )
+    if kind == "ape":
+        return APETransformer(
+            in_dim, td.output_dim, td.hidden_dim, td.num_heads, layers,
+            name=name,
+        )
+    raise ValueError(f"unknown coarse_module {kind!r}")
 
 
 class RDMNet(nn.Module):
@@ -94,15 +125,7 @@ class RDMNet(nn.Module):
         feats_c = feats_list[-1].reshape(2, cap_c, -1)  # (2, cap_c, 2048)
 
         # ---------------- transformer #1 on original coarse nodes ----------
-        ref_feats_c, src_feats_c = ThDRoFormer(
-            cfg.thdroformer.input_dim,
-            cfg.thdroformer.output_dim,
-            cfg.thdroformer.hidden_dim,
-            cfg.thdroformer.num_heads,
-            cfg.thdroformer.num_layers,
-            dtype=dtype,
-            name="transformer",
-        )(
+        ref_feats_c, src_feats_c = _coarse_transformer(cfg, 1, dtype)(
             ref_points_c, src_points_c, feats_c[0], feats_c[1],
             ref_valid=ref_mask_c, src_valid=src_mask_c,
         )
@@ -145,7 +168,7 @@ class RDMNet(nn.Module):
                     ref_mask_c, src_mask_c,
                 )
 
-            vote = VoteLayer(cfg.vote, cfg.thdroformer.output_dim, name="vote")
+            vote = VoteLayer(cfg.vote, ref_feats_c.shape[-1], name="vote")
             feats_c_pair = jnp.stack([ref_feats_c, src_feats_c])
             points_c_pair = jnp.stack([ref_points_c, src_points_c])
             shifted_pair, voted_feats = vote(points_c_pair, feats_c_pair)
@@ -169,16 +192,7 @@ class RDMNet(nn.Module):
             node_valid = mask_pair & keep_pair          # (2, cap_c)
             nodes_pair = shifted_pair
 
-            ref_feats_c, src_feats_c = ThDRoFormer(
-                cfg.thdroformer.input_dim2,
-                cfg.thdroformer.output_dim,
-                cfg.thdroformer.hidden_dim,
-                cfg.thdroformer.num_heads,
-                cfg.thdroformer.num_layers2,
-                k=cfg.thdroformer.k2,
-                dtype=dtype,
-                name="transformer2",
-            )(
+            ref_feats_c, src_feats_c = _coarse_transformer(cfg, 2, dtype)(
                 nodes_pair[0], nodes_pair[1], voted_feats[0], voted_feats[1],
                 ref_valid=node_valid[0], src_valid=node_valid[1],
             )

@@ -89,3 +89,43 @@ class TestRDMNetForward:
         assert all(np.isfinite(np.asarray(g)).all() for g in flat)
         total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
         assert total > 0
+
+
+class TestCoarseModuleVariants:
+    """cfg.model.coarse_module selects the coarse transformer family —
+    the original GeoTransformer RPE stack and the absolute-PE ablation the
+    reference keeps alongside ThDRoFormer (experiments/model.py:9-14,
+    thdroformer.py:368-448)."""
+
+    @pytest.mark.parametrize("kind", ["geotransformer", "ape"])
+    def test_variant_forward_and_params(self, setup, kind):
+        import dataclasses
+
+        cfg0, _, _, batch, tf = setup
+        cfg = dataclasses.replace(
+            cfg0, model=dataclasses.replace(cfg0.model, coarse_module=kind)
+        )
+        model = RDMNet(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), batch, training=False, with_gt=True
+        )
+        names = params["params"].keys()
+        assert "transformer" in names and "transformer2" in names
+        marker = {"geotransformer": "embedding", "ape": "embedding"}[kind]
+        assert marker in params["params"]["transformer"]
+        out = model.apply(params, batch, training=False, with_gt=True)
+        assert out["estimated_transform"].shape == (4, 4)
+        assert np.all(np.isfinite(np.asarray(out["estimated_transform"])))
+        assert np.all(np.isfinite(np.asarray(out["ref_feats_c"])))
+
+    def test_unknown_variant_raises(self, setup):
+        import dataclasses
+
+        cfg0, _, _, batch, tf = setup
+        cfg = dataclasses.replace(
+            cfg0, model=dataclasses.replace(cfg0.model, coarse_module="nope")
+        )
+        with pytest.raises(ValueError, match="coarse_module"):
+            RDMNet(cfg).init(
+                jax.random.PRNGKey(0), batch, training=False, with_gt=True
+            )
