@@ -35,6 +35,11 @@ def main():
              "its pose against the live pipeline",
     )
     parser.add_argument("--asset_dir", default="/root/reference/assets/pc")
+    parser.add_argument(
+        "--coarse_module", default=None,
+        choices=["thdroformer", "geotransformer", "ape"],
+        help="coarse transformer family (ablation; default thdroformer)",
+    )
     args = parser.parse_args()
 
     if args.parity_cfg or (args.torch_checkpoint and not args.no_parity_cfg):
@@ -45,6 +50,12 @@ def main():
         from rdmnet_tpu.config import make_cfg
 
         cfg = make_cfg()
+    if args.coarse_module is not None:
+        import dataclasses
+
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, coarse_module=args.coarse_module)
+        )
 
     from rdmnet_tpu.cli.common import build_model_and_params
     from rdmnet_tpu.serving import export_inference, load_exported

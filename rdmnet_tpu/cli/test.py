@@ -55,6 +55,11 @@ def main():
              "checkpoint (required when consuming a snapshot written by "
              "cli/convert)",
     )
+    parser.add_argument(
+        "--coarse_module", default=None,
+        choices=["thdroformer", "geotransformer", "ape"],
+        help="coarse transformer family (ablation; default thdroformer)",
+    )
     args = parser.parse_args()
     assert 0 <= args.shard_id < args.num_shards
 
@@ -74,6 +79,10 @@ def main():
             )
     else:
         cfg = make_cfg()
+    if args.coarse_module is not None:
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, coarse_module=args.coarse_module)
+        )
     if args.dataset == "mulran":
         # vote disabled at inference for MulRan (reference test.py:107-108)
         cfg = cfg.replace(vote=dataclasses.replace(cfg.vote, inference_use_vote=False))
