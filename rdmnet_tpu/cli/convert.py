@@ -1,4 +1,16 @@
-"""One-shot reference-checkpoint conversion: torch .pth.tar -> orbax snapshot.
+"""One-shot checkpoint conversion between the torch reference and this
+framework — both directions.
+
+Import (torch .pth.tar -> orbax snapshot) and export (orbax snapshot ->
+torch .pth.tar, for taking a TPU-trained model BACK to the reference and
+evaluating it with the original tooling):
+
+    # export: --schema is any reference checkpoint providing the target
+    # key/shape schema (e.g. a random-init state_dict saved from the
+    # reference; regenerated buffers like div_term are synthesized)
+    python -m rdmnet_tpu.cli.convert --snapshot_dir out/snapshots \
+        --to_torch out/rdmnet_tpu.pth.tar --schema weights/rdmnet.pth.tar
+
 
 The test/infer CLIs can load a reference checkpoint directly with
 ``--torch_checkpoint`` (conversion happens at every startup and requires
@@ -68,6 +80,32 @@ def convert_checkpoint(cfg, torch_checkpoint: str, output_dir: str,
     return epoch
 
 
+def export_checkpoint(cfg, snapshot_dir: str, schema_path: str,
+                      out_path: str, epoch=None) -> int:
+    """Export an orbax snapshot's params into the reference's .pth.tar
+    schema (key set + shapes taken from ``schema_path``); returns the
+    exported epoch."""
+    import torch
+
+    from rdmnet_tpu.cli.common import build_model_and_params
+    from rdmnet_tpu.utils.torch_convert import export_state_dict, load_torch_checkpoint
+
+    _, params = build_model_and_params(cfg, snapshot_dir, epoch)
+    schema = {
+        k: tuple(v.shape) for k, v in load_torch_checkpoint(schema_path).items()
+    }
+    sd = export_state_dict(params["params"], schema)
+    blob_epoch = epoch if epoch is not None else 0
+    torch.save(
+        {"model": {k: torch.from_numpy(np.array(v))  # copy: orbax arrays are read-only
+                   for k, v in sd.items()},
+         "epoch": blob_epoch},
+        out_path,
+    )
+    print(f"exported {snapshot_dir} -> {out_path} ({len(sd)} tensors)")
+    return blob_epoch
+
+
 def main():
     # conversion is pure host work: key mapping + optimizer-state zeros +
     # an orbax write. Running it on the remote TPU pays per-op tunnel
@@ -76,8 +114,17 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--torch_checkpoint", required=True)
-    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--torch_checkpoint", default=None,
+                        help="import direction: reference .pth.tar to convert")
+    parser.add_argument("--output_dir", default=None,
+                        help="import direction: orbax snapshot destination")
+    parser.add_argument("--snapshot_dir", default=None,
+                        help="export direction: orbax snapshot to export")
+    parser.add_argument("--to_torch", default=None,
+                        help="export direction: .pth.tar destination")
+    parser.add_argument("--schema", default=None,
+                        help="export direction: reference checkpoint whose "
+                             "key/shape schema the export targets")
     parser.add_argument(
         "--epoch", type=int, default=None,
         help="snapshot step label (default: the checkpoint's own epoch, or 0)",
@@ -88,10 +135,19 @@ def main():
     from rdmnet_tpu.config import make_cfg, make_parity_cfg
 
     cfg = make_cfg() if args.no_parity_cfg else make_parity_cfg()
-    convert_checkpoint(
-        cfg, args.torch_checkpoint, args.output_dir,
-        epoch=args.epoch, requires_parity_cfg=not args.no_parity_cfg,
-    )
+    if args.to_torch:
+        if not (args.snapshot_dir and args.schema):
+            parser.error("--to_torch requires --snapshot_dir and --schema")
+        export_checkpoint(
+            cfg, args.snapshot_dir, args.schema, args.to_torch, epoch=args.epoch
+        )
+    else:
+        if not (args.torch_checkpoint and args.output_dir):
+            parser.error("import requires --torch_checkpoint and --output_dir")
+        convert_checkpoint(
+            cfg, args.torch_checkpoint, args.output_dir,
+            epoch=args.epoch, requires_parity_cfg=not args.no_parity_cfg,
+        )
 
 
 if __name__ == "__main__":

@@ -24,6 +24,10 @@ def main():
     parser.add_argument("--steps", type=int, default=600)
     parser.add_argument("--lr", type=float, default=5e-4)
     parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument(
+        "--coarse_module", default=None,
+        choices=["thdroformer", "geotransformer", "ape"],
+    )
     args = parser.parse_args()
 
     import jax
@@ -44,6 +48,10 @@ def main():
         pyramid=cfg.pyramid.scaled(0.7),
         optim=dataclasses.replace(cfg.optim, lr=args.lr, grad_acc_steps=1),
     )
+    if args.coarse_module is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, coarse_module=args.coarse_module)
+        )
 
     ref = np.load("/root/reference/assets/pc/000000.npy")[:, :3].astype(np.float32)
     rng = np.random.RandomState(0)

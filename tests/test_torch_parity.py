@@ -768,3 +768,106 @@ class TestConvertCLI:
         )
         want = t2n(sd["transformer.in_proj.weight"]).T
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+class TestExportStateDict:
+    def test_full_model_round_trip_key_for_key(self):
+        """export_state_dict is the exact inverse of convert_state_dict on
+        the FULL live reference model: every key reproduced bit-for-bit
+        and accepted by torch load_state_dict(strict=True) — the
+        'take a TPU-trained checkpoint back to the reference' path."""
+        import sys
+
+        sys.path.insert(0, "/root/reference/experiments")
+        from model_infer import create_model
+        from config import make_cfg as ref_make_cfg
+
+        from rdmnet_tpu.utils.torch_convert import (
+            convert_state_dict,
+            export_state_dict,
+        )
+
+        ref_cfg = ref_make_cfg()
+        ref_cfg.neighbor_limits = [65, 63, 69, 71, 81]
+        tm = create_model(ref_cfg)
+        sd = {k: t2n(v) for k, v in tm.state_dict().items()}
+
+        params = convert_state_dict(sd)
+        back = export_state_dict(params, {k: tuple(v.shape) for k, v in sd.items()})
+
+        assert set(back) == set(sd)
+        for k in sd:
+            if k.endswith("div_term"):
+                # synthesized transcendental buffer: torch/numpy exp may
+                # differ in the last ulp; (torch regenerates it anyway)
+                np.testing.assert_allclose(back[k], sd[k], rtol=3e-7, err_msg=k)
+            else:
+                np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+        missing, unexpected = tm.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in back.items()},
+            strict=True,
+        )
+        assert not missing and not unexpected
+
+    def test_shape_mismatch_raises(self):
+        from rdmnet_tpu.utils.torch_convert import export_state_dict
+
+        params = {"head": {"kernel": np.zeros((4, 8), np.float32)}}
+        with pytest.raises(ValueError, match="shape mismatch"):
+            export_state_dict(params, {"head.weight": (7, 4)})
+
+    def test_missing_key_raises(self):
+        from rdmnet_tpu.utils.torch_convert import export_state_dict
+
+        with pytest.raises(KeyError, match="missing"):
+            export_state_dict({}, {"head.weight": (8, 4)})
+
+    def test_div_term_synthesis_matches_torch(self):
+        from rdmnet_tpu.utils.torch_convert import export_state_dict
+
+        d_model = 64
+        div_indices = torch.arange(0, d_model, 2).float()
+        want = torch.exp(div_indices * (-np.log(10000.0) / d_model)).numpy()
+        got = export_state_dict({}, {"embedding.div_term": (d_model // 2,)})
+        np.testing.assert_allclose(got["embedding.div_term"], want, rtol=3e-7)
+
+
+@pytest.mark.slow
+class TestConvertCLIExport:
+    def test_import_then_export_matches_original(self, tmp_path):
+        """rdmnet-convert both directions: reference .pth.tar -> orbax
+        snapshot -> back to .pth.tar equals the original state_dict."""
+        import sys
+
+        sys.path.insert(0, "/root/reference/experiments")
+        from model_infer import create_model
+        from config import make_cfg as ref_make_cfg
+
+        from rdmnet_tpu.cli.convert import convert_checkpoint, export_checkpoint
+        from rdmnet_tpu.config import make_parity_cfg
+
+        ref_cfg = ref_make_cfg()
+        ref_cfg.neighbor_limits = [65, 63, 69, 71, 81]
+        tm = create_model(ref_cfg)
+        sd = tm.state_dict()
+        blob_path = str(tmp_path / "ref.pth.tar")
+        torch.save({"model": sd, "epoch": 7}, blob_path)
+
+        cfg = make_parity_cfg()
+        snap_dir = str(tmp_path / "snap")
+        convert_checkpoint(cfg, blob_path, snap_dir)
+
+        out_path = str(tmp_path / "exported.pth.tar")
+        export_checkpoint(cfg, snap_dir, blob_path, out_path, epoch=7)
+
+        blob = torch.load(out_path, map_location="cpu")
+        assert blob["epoch"] == 7
+        got = blob["model"]
+        assert set(got) == set(sd.keys())
+        for k, v in sd.items():
+            if k.endswith("div_term"):
+                np.testing.assert_allclose(t2n(got[k]), t2n(v), rtol=3e-7)
+            else:
+                np.testing.assert_array_equal(t2n(got[k]), t2n(v), err_msg=k)
