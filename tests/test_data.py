@@ -259,6 +259,7 @@ class TestCalibration:
         assert len(limits) == 3
         assert all(1 <= l <= 512 for l in limits)
 
+    @pytest.mark.slow  # full-scale banded search compile on the real scan
     def test_band_caps_cover_real_scan(self, demo_pair):
         """Calibrated band caps must let the banded search run the real
         scan without band overflow (dropped stays zero)."""

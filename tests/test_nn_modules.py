@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rdmnet_tpu.config import FineMatchingConfig, VoteConfig
 from rdmnet_tpu.nn.attention import rotary_rotate
@@ -249,6 +250,7 @@ class TestLGR:
 
 
 class TestFusedGatherEquivalence:
+    @pytest.mark.slow  # two full-encoder compiles, ~2 min on CPU
     def test_encoder_fused_matches_unfused(self, rng):
         """shared_influence=True (one influence tensor per level, canonical
         kernels) must equal shared_influence=False (each KPConv computes

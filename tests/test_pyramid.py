@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rdmnet_tpu.config import PyramidConfig
 from rdmnet_tpu.graph import build_cloud_pyramid, build_pair_batch
@@ -177,6 +178,7 @@ class TestPairBatch:
         assert f[:120].sum() == 120 and f[120:].sum() == 0
         assert batch.transform.shape == (4, 4)
 
+    @pytest.mark.slow  # vmapped pair-batch compile, ~20 s on CPU
     def test_pair_batch_vmaps(self, rng):
         def build(r, rc, s, sc, tf):
             return build_pair_batch(r, rc, s, sc, tf, SPEC)
