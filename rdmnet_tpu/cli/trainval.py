@@ -46,6 +46,15 @@ def main():
         choices=["thdroformer", "geotransformer", "ape"],
         help="coarse transformer family (ablation; default thdroformer)",
     )
+    parser.add_argument(
+        "--scheduler", default=None, choices=["step", "warmup_cosine"],
+        help="LR schedule family: the reference's StepLR (default) or its "
+        "warmup-cosine alternative (geotransformer/utils/torch.py:153-178)",
+    )
+    parser.add_argument(
+        "--warmup_steps", type=int, default=None,
+        help="warmup micro-steps for --scheduler warmup_cosine",
+    )
     parser.add_argument("--coordinator_address", default=None)
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
@@ -69,6 +78,12 @@ def main():
         cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, max_epoch=args.max_epoch))
     if args.dp is not None:
         cfg = cfg.replace(parallel=dataclasses.replace(cfg.parallel, dp=args.dp))
+    if args.scheduler is not None:
+        cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, scheduler=args.scheduler))
+    if args.warmup_steps is not None:
+        cfg = cfg.replace(
+            optim=dataclasses.replace(cfg.optim, warmup_steps=args.warmup_steps)
+        )
     if args.coarse_module is not None:
         cfg = cfg.replace(
             model=dataclasses.replace(cfg.model, coarse_module=args.coarse_module)

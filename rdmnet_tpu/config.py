@@ -288,6 +288,16 @@ class OptimConfig:
     weight_decay: float = 1e-6
     max_epoch: int = 160
     grad_acc_steps: int = 1
+    # LR schedule family: "step" is the reference's trainval StepLR
+    # (trainval.py:36); "warmup_cosine" is its engine-level alternative
+    # (geotransformer/utils/torch.py:143-178) — linear warmup from
+    # eta_init x lr to lr over warmup_steps, then cosine to eta_min x lr
+    # over the remaining steps (both counted in APPLIED updates, matching
+    # the reference's //grad_acc_steps division).
+    scheduler: str = "step"
+    warmup_steps: int = 0        # micro steps, as the reference counts them
+    eta_init: float = 0.1        # warmup start factor (reference default)
+    eta_min: float = 0.1         # cosine floor factor (reference default)
 
 
 @dataclasses.dataclass(frozen=True)

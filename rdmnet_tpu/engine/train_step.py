@@ -34,6 +34,40 @@ class TrainState(train_state.TrainState):
     pass
 
 
+def warmup_cosine_schedule(
+    base_lr: float,
+    total_steps: int,
+    warmup_steps: int,
+    eta_init: float = 0.1,
+    eta_min: float = 0.1,
+) -> Callable:
+    """Warmup-cosine LR factor schedule, reference semantics
+    (geotransformer/utils/torch.py:152-171 WarmUpCosineAnnealingFunction):
+    the factor ramps linearly eta_init -> 1 over ``warmup_steps``, then
+    follows a half cosine 1 -> eta_min over the remaining steps, clamping
+    at eta_min past ``total_steps``.  ``count`` is the applied-update
+    counter (0 for the first update); torch's LambdaLR evaluates the
+    factor at ``next_step = last_epoch + 1`` and its constructor step()
+    leaves last_epoch = count, so update ``count`` uses the factor at
+    ``step = count + 1`` (verified against a live LambdaLR sequence in
+    tests/test_engine.py).
+    """
+    warmup = max(0, warmup_steps)
+    normal = max(1, total_steps - warmup)
+
+    def schedule(count):
+        step = jnp.asarray(count, jnp.float32) + 1.0
+        warm = eta_init + (1.0 - eta_init) * step / jnp.maximum(warmup, 1)
+        t = step - warmup
+        cos = eta_min + 0.5 * (1.0 - eta_min) * (1.0 + jnp.cos(jnp.pi * t / normal))
+        factor = jnp.where(
+            step < warmup, warm, jnp.where(step > total_steps, eta_min, cos)
+        )
+        return base_lr * factor
+
+    return schedule
+
+
 def create_optimizer(cfg: Config, steps_per_epoch: int, dp_size: int = 1):
     """Adam(lr·dp, wd) with x0.95 staircase decay every lr_decay_steps epochs.
 
@@ -48,12 +82,26 @@ def create_optimizer(cfg: Config, steps_per_epoch: int, dp_size: int = 1):
     # reference's "decay every lr_decay_steps EPOCHS" semantics
     # (reference trainval.py:36, epoch_based_trainer.py:137)
     applied_per_epoch = max(1, steps_per_epoch // max(1, cfg.optim.grad_acc_steps))
-    schedule = optax.exponential_decay(
-        init_value=lr,
-        transition_steps=cfg.optim.lr_decay_steps * applied_per_epoch,
-        decay_rate=cfg.optim.lr_decay,
-        staircase=True,
-    )
+    if cfg.optim.scheduler == "step":
+        schedule = optax.exponential_decay(
+            init_value=lr,
+            transition_steps=cfg.optim.lr_decay_steps * applied_per_epoch,
+            decay_rate=cfg.optim.lr_decay,
+            staircase=True,
+        )
+    elif cfg.optim.scheduler == "warmup_cosine":
+        schedule = warmup_cosine_schedule(
+            lr,
+            total_steps=cfg.optim.max_epoch * applied_per_epoch,
+            warmup_steps=cfg.optim.warmup_steps // max(1, cfg.optim.grad_acc_steps),
+            eta_init=cfg.optim.eta_init,
+            eta_min=cfg.optim.eta_min,
+        )
+    else:
+        raise ValueError(
+            f"unknown optim.scheduler {cfg.optim.scheduler!r} "
+            "(expected 'step' or 'warmup_cosine')"
+        )
     # kernel_points are geometry constants (stop-gradient params so that
     # converted reference checkpoints restore them) — never decay them
     def _decay_mask(params):

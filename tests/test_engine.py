@@ -109,3 +109,72 @@ class TestLrScheduleGradAcc:
         assert float(schedule(boundary)) == pytest.approx(
             lr0 * cfg.optim.lr_decay, rel=1e-6
         )
+
+
+class TestWarmupCosineSchedule:
+    def test_matches_reference_lambdalr_trace(self):
+        """optim.scheduler='warmup_cosine' must reproduce the lr the
+        reference's LambdaLR(WarmUpCosineAnnealingFunction) applies at every
+        update, including the constructor-step offset (torch evaluates the
+        factor at last_epoch+1, so update i uses step i+1) and the
+        //grad_acc_steps division of both step counts
+        (reference geotransformer/utils/torch.py:153-178)."""
+        import dataclasses
+        import sys
+
+        import pytest as _pytest
+
+        torch = _pytest.importorskip("torch")
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        try:
+            from geotransformer.utils.torch import WarmUpCosineAnnealingFunction
+        except Exception as exc:  # pragma: no cover - reference absent
+            _pytest.skip(f"reference unavailable: {exc}")
+
+        from rdmnet_tpu.config import make_tiny_cfg
+        from rdmnet_tpu.engine.train_step import create_optimizer
+
+        grad_acc, steps_per_epoch, max_epoch, warmup = 2, 8, 5, 6
+        cfg = make_tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            optim=dataclasses.replace(
+                cfg.optim,
+                scheduler="warmup_cosine",
+                grad_acc_steps=grad_acc,
+                max_epoch=max_epoch,
+                warmup_steps=warmup,
+            ),
+        )
+        _, schedule = create_optimizer(cfg, steps_per_epoch)
+
+        applied_per_epoch = steps_per_epoch // grad_acc
+        total = max_epoch * applied_per_epoch
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.Adam([p], lr=cfg.optim.lr)
+        sched = torch.optim.lr_scheduler.LambdaLR(
+            opt,
+            WarmUpCosineAnnealingFunction(
+                total, warmup // grad_acc, eta_init=cfg.optim.eta_init,
+                eta_min=cfg.optim.eta_min,
+            ),
+        )
+        for count in range(total + 4):
+            ref_lr = opt.param_groups[0]["lr"]
+            assert float(schedule(count)) == pytest.approx(ref_lr, rel=1e-6), count
+            opt.step()
+            sched.step()
+
+    def test_unknown_scheduler_rejected(self):
+        import dataclasses
+
+        from rdmnet_tpu.config import make_tiny_cfg
+        from rdmnet_tpu.engine.train_step import create_optimizer
+
+        cfg = make_tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, scheduler="nope")
+        )
+        with pytest.raises(ValueError, match="scheduler"):
+            create_optimizer(cfg, 8)
