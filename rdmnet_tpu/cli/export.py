@@ -30,6 +30,12 @@ def main():
         help="comma-separated lowering targets baked into the artifact",
     )
     parser.add_argument(
+        "--buckets", default="1.0",
+        help="comma-separated capacity-bucket scale factors (e.g. 0.5,0.7,1.0): "
+             "one compiled program per bucket over shared weights; the server "
+             "dispatches each request to the smallest bucket that fits",
+    )
+    parser.add_argument(
         "--check", action="store_true",
         help="run the demo pair through the reloaded artifact and compare "
              "its pose against the live pipeline",
@@ -65,10 +71,17 @@ def main():
         torch_checkpoint=args.torch_checkpoint,
     )
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
-    export_inference(cfg, params, args.out_dir, platforms=platforms)
-    print(f"exported: {args.out_dir} (platforms={','.join(platforms)})")
+    bucket_scales = tuple(float(s) for s in args.buckets.split(",") if s.strip())
+    buckets = export_inference(
+        cfg, params, args.out_dir, platforms=platforms, bucket_scales=bucket_scales
+    )
+    print(
+        f"exported: {args.out_dir} (platforms={','.join(platforms)}, "
+        f"buckets={args.buckets})"
+    )
 
     if args.check:
+        import dataclasses
         import os.path as osp
 
         from rdmnet_tpu.cli.common import make_forward, pad_pair_np
@@ -80,9 +93,16 @@ def main():
         out = serve(ref, src)
         est = out["estimated_transform"]
 
-        model = RDMNet(cfg)
-        forward = make_forward(cfg, model, with_gt=False)
-        rp, rc, sp, sc = pad_pair_np(cfg, ref, src)
+        # compare against the live pipeline at the SAME capacity bucket the
+        # artifact dispatched to (a different bucket would not be
+        # bit-comparable: padded shapes enter the approx top-k reductions)
+        scale = next(b["scale"] for b in buckets if b["cap"] == serve.last_cap)
+        cfg_check = cfg if scale == 1.0 else dataclasses.replace(
+            cfg, pyramid=cfg.pyramid.scaled(scale)
+        )
+        model = RDMNet(cfg_check)
+        forward = make_forward(cfg_check, model, with_gt=False)
+        rp, rc, sp, sc = pad_pair_np(cfg_check, ref, src)
         live = forward(params, rp, rc, sp, sc, np.eye(4, dtype=np.float32))
         delta = float(np.abs(est - np.asarray(live["estimated_transform"])).max())
         n_corr = int((out["corr_scores"] > 0).sum())

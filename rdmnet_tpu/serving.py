@@ -8,9 +8,14 @@ model forward + LGR pose solve — with :mod:`jax.export`, and writes a
 three-file artifact directory:
 
 * ``model.stablehlo``  — the serialized exported function (can be lowered
-  for several platforms at once, e.g. ``("tpu", "cpu")``);
-* ``weights.npz``      — the flattened parameter arrays, index-keyed;
-* ``serving.json``     — input capacity, dtypes, output names, platforms.
+  for several platforms at once, e.g. ``("tpu", "cpu")``); with
+  ``bucket_scales`` beyond the default, one ``model_b{cap}.stablehlo``
+  per capacity bucket instead (static-shape point-count bucketing: the
+  server dispatches each request to the smallest bucket that fits, so
+  typical-size scans don't pay full-capacity compute);
+* ``weights.npz``      — the flattened parameter arrays, index-keyed
+  (shared by all buckets);
+* ``serving.json``     — bucket capacities + files, output names, platforms.
 
 ``load_exported`` reconstructs a ready-to-call ``serve(ref_points,
 src_points)`` closure from that directory alone — no flax, no model code,
@@ -48,21 +53,10 @@ def _pad_np(points: np.ndarray, cap: int) -> Tuple[np.ndarray, np.int32]:
     return out, np.int32(n)
 
 
-def export_inference(
-    cfg, params, out_dir: str, platforms: Sequence[str] = ("tpu", "cpu")
-) -> None:
-    """AOT-export the GT-free inference pipeline for ``platforms``.
-
-    ``params`` is the model variable tree (as returned by
-    cli/common.build_model_and_params). The exported function signature is
-    ``(flat_params, ref_padded, ref_count, src_padded, src_count) ->
-    {SERVE_OUTPUTS}`` with static level-0 capacity ``cfg.pyramid.caps[0]``.
-    """
+def _export_one(cfg, model, flat, treedef, platforms) -> bytes:
+    """Serialize one capacity bucket of the inference pipeline."""
     from rdmnet_tpu.graph.pyramid import build_pair_batch
-    from rdmnet_tpu.models import RDMNet
 
-    model = RDMNet(cfg)
-    flat, treedef = jax.tree_util.tree_flatten(params)
     # the fused Pallas Sinkhorn only lowers for real TPUs; a portable
     # (multi-platform) artifact must take the lax.scan path (~ms-level
     # cost difference at inference)
@@ -91,16 +85,65 @@ def export_inference(
     exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(
         *arg_specs
     )
+    return exported.serialize()
 
+
+def export_inference(
+    cfg,
+    params,
+    out_dir: str,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    bucket_scales: Sequence[float] = (1.0,),
+) -> list:
+    """AOT-export the GT-free inference pipeline for ``platforms``.
+
+    ``params`` is the model variable tree (as returned by
+    cli/common.build_model_and_params). The exported function signature is
+    ``(flat_params, ref_padded, ref_count, src_padded, src_count) ->
+    {SERVE_OUTPUTS}`` with static level-0 capacity ``cfg.pyramid.caps[0]``.
+
+    ``bucket_scales``: capacity-bucket factors applied via
+    ``cfg.pyramid.scaled`` (1.0 = the config's own caps). Each bucket is a
+    separately compiled program over the SAME weights; ``load_exported``
+    dispatches each request to the smallest bucket that fits its clouds
+    (the serving-side counterpart of data/loader.choose_bucket).
+
+    Returns the bucket list ``[{"cap", "file", "scale"}, ...]`` ascending
+    by capacity ("scale" is not persisted in serving.json — the artifact
+    consumer needs only caps).
+    """
+    import dataclasses
+
+    from rdmnet_tpu.models import RDMNet
+
+    flat, treedef = jax.tree_util.tree_flatten(params)
     os.makedirs(out_dir, exist_ok=True)
-    with open(osp.join(out_dir, "model.stablehlo"), "wb") as f:
-        f.write(exported.serialize())
+
+    buckets = []
+    for scale in sorted(set(float(s) for s in bucket_scales)):
+        cfg_b = cfg if scale == 1.0 else dataclasses.replace(
+            cfg, pyramid=cfg.pyramid.scaled(scale)
+        )
+        cap = int(cfg_b.pyramid.caps[0])
+        if any(b["cap"] == cap for b in buckets):
+            continue  # scales rounding to the same capacity
+        fname = (
+            "model.stablehlo" if list(bucket_scales) == [1.0]
+            else f"model_b{cap}.stablehlo"
+        )
+        blob = _export_one(cfg_b, RDMNet(cfg_b), flat, treedef, platforms)
+        with open(osp.join(out_dir, fname), "wb") as f:
+            f.write(blob)
+        buckets.append({"cap": cap, "file": fname, "scale": scale})
+    buckets.sort(key=lambda b: b["cap"])
+
     np.savez(
         osp.join(out_dir, "weights.npz"),
         **{f"w{i}": np.asarray(x) for i, x in enumerate(flat)},
     )
     meta = {
-        "cap": cap,
+        "cap": buckets[-1]["cap"],  # largest bucket (truncation capacity)
+        "buckets": [{"cap": b["cap"], "file": b["file"]} for b in buckets],
         "n_weights": len(flat),
         "outputs": list(SERVE_OUTPUTS),
         "platforms": list(platforms),
@@ -108,6 +151,7 @@ def export_inference(
     }
     with open(osp.join(out_dir, "serving.json"), "w") as f:
         json.dump(meta, f, indent=2)
+    return buckets
 
 
 def load_exported(out_dir: str):
@@ -120,20 +164,32 @@ def load_exported(out_dir: str):
     """
     with open(osp.join(out_dir, "serving.json")) as f:
         meta = json.load(f)
-    with open(osp.join(out_dir, "model.stablehlo"), "rb") as f:
-        exported = jax_export.deserialize(f.read())
+    # single-bucket artifacts predating the buckets field
+    buckets = meta.get("buckets") or [{"cap": meta["cap"], "file": "model.stablehlo"}]
+    calls = []
+    for b in buckets:
+        with open(osp.join(out_dir, b["file"]), "rb") as f:
+            exported = jax_export.deserialize(f.read())
+        # jit compiles lazily: an unused bucket costs nothing until its
+        # first request
+        calls.append((int(b["cap"]), jax.jit(exported.call)))
     weights = np.load(osp.join(out_dir, "weights.npz"))
     # resident on device once at load time: passing numpy arrays would
     # re-transfer the full ~100 MB parameter set on EVERY request
     # (measured 4.4 s/request vs ~0.1 s with resident weights)
     flat = jax.device_put([weights[f"w{i}"] for i in range(meta["n_weights"])])
-    call = jax.jit(exported.call)
-    cap = meta["cap"]
 
     def serve(ref_points: np.ndarray, src_points: np.ndarray) -> Dict[str, np.ndarray]:
+        n = max(len(ref_points), len(src_points))
+        # smallest bucket that fits; largest (with truncation) otherwise
+        cap, call = next(
+            (b for b in calls if n <= b[0]), calls[-1]
+        )
+        serve.last_cap = cap  # observability: which bucket served the request
         rp, rc = _pad_np(np.asarray(ref_points, np.float32), cap)
         sp, sc = _pad_np(np.asarray(src_points, np.float32), cap)
         out = call(flat, rp, rc, sp, sc)
         return {k: np.asarray(v) for k, v in out.items()}
 
+    serve.last_cap = None
     return serve, meta

@@ -98,6 +98,41 @@ def test_http_server_round_trip(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_multi_bucket_dispatch(tmp_path, rng):
+    """Multi-bucket artifacts: one compiled program per capacity bucket over
+    shared weights; requests dispatch to the smallest bucket that fits."""
+    from rdmnet_tpu.cli.common import build_model_and_params
+
+    cfg = make_tiny_cfg()
+    _, params = build_model_and_params(cfg)
+    out_dir = str(tmp_path / "artifact")
+    export_inference(
+        cfg, params, out_dir, platforms=("cpu",), bucket_scales=(0.5, 1.0)
+    )
+
+    serve, meta = load_exported(out_dir)
+    caps = [b["cap"] for b in meta["buckets"]]
+    assert caps == sorted(caps) and len(caps) == 2
+    assert meta["cap"] == caps[-1] == cfg.pyramid.caps[0]
+
+    small = (rng.rand(caps[0] - 10, 3) * 20).astype(np.float32)
+    out = serve(small, small)
+    assert serve.last_cap == caps[0]
+    assert np.all(np.isfinite(out["estimated_transform"]))
+
+    big = (rng.rand(caps[0] + 10, 3) * 20).astype(np.float32)
+    out = serve(big, big)
+    assert serve.last_cap == caps[1]
+    assert np.all(np.isfinite(out["estimated_transform"]))
+
+    # beyond every bucket: largest bucket serves, truncating
+    huge = (rng.rand(caps[1] + 10, 3) * 20).astype(np.float32)
+    out = serve(huge, huge)
+    assert serve.last_cap == caps[1]
+    assert np.all(np.isfinite(out["estimated_transform"]))
+
+
+@pytest.mark.slow
 def test_export_truncates_oversized_cloud(tmp_path, rng):
     """Clouds beyond the exported capacity must pad/truncate, not crash."""
     from rdmnet_tpu.cli.common import build_model_and_params
