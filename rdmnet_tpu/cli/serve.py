@@ -39,6 +39,7 @@ import numpy as np
 def make_handler(serve_fn, meta):
     lock = threading.Lock()
     counter = {"requests": 0, "errors": 0}
+    bucket_counts = {}  # capacity -> requests served at that bucket
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet default stderr chatter
@@ -55,7 +56,10 @@ def make_handler(serve_fn, meta):
             if self.path != "/healthz":
                 self._send(404, b"not found", "text/plain")
                 return
-            body = json.dumps({"ok": True, **meta, **counter}).encode()
+            body = json.dumps(
+                {"ok": True, **meta, **counter,
+                 "bucket_requests": {str(k): v for k, v in bucket_counts.items()}}
+            ).encode()
             self._send(200, body, "application/json")
 
         def do_POST(self):
@@ -70,6 +74,9 @@ def make_handler(serve_fn, meta):
                 with lock:
                     out = serve_fn(ref, src)
                     counter["requests"] += 1
+                    cap = getattr(serve_fn, "last_cap", None)
+                    if cap is not None:
+                        bucket_counts[cap] = bucket_counts.get(cap, 0) + 1
                 sel = out["corr_scores"] > 0
                 buf = io.BytesIO()
                 np.savez(

@@ -93,6 +93,7 @@ def test_http_server_round_trip(tmp_path, rng):
         with urllib.request.urlopen(url + "/healthz") as r:
             health = json.loads(r.read())
         assert health["requests"] == 1 and health["errors"] == 1
+        assert health["bucket_requests"] == {str(cfg.pyramid.caps[0]): 1}
     finally:
         server.shutdown()
 
