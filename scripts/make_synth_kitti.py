@@ -71,10 +71,12 @@ def main():
 
     build_seq(args.out, 0, base, args.frames, rng)   # train split (seqs 0-5)
     build_seq(args.out, 6, base, 3, rng)             # val split (seqs 6-7)
-    for seq in (1, 2, 3, 4, 5, 7):
+    build_seq(args.out, 8, base, 3, rng)             # test split (seqs 8-10)
+    for seq in (1, 2, 3, 4, 5, 7, 9, 10):
         open(osp.join(args.out, "icp10", f"{seq:02d}"), "a").close()
     print(f"synthetic KITTI root at {args.out}: "
-          f"{args.frames - 1} train pairs (seq 00), 2 val pairs (seq 06)")
+          f"{args.frames - 1} train pairs (seq 00), 2 val pairs (seq 06), "
+          f"2 test pairs (seq 08)")
 
 
 if __name__ == "__main__":
