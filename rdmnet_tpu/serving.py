@@ -189,7 +189,10 @@ def load_exported(out_dir: str):
         rp, rc = _pad_np(np.asarray(ref_points, np.float32), cap)
         sp, sc = _pad_np(np.asarray(src_points, np.float32), cap)
         out = call(flat, rp, rc, sp, sc)
-        return {k: np.asarray(v) for k, v in out.items()}
+        # ONE batched fetch: per-key np.asarray issues a sequential
+        # round trip per output array — measured +107 ms/request on the
+        # remote-device tunnel vs +29 ms for device_get (244 -> 158 ms)
+        return jax.device_get(out)
 
     serve.last_cap = None
     return serve, meta
