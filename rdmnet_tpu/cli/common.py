@@ -92,7 +92,10 @@ def trim_outputs(out: Dict, transform: np.ndarray) -> Dict[str, np.ndarray]:
     (reference experiments/test.py:70-98): masked rows dropped, node indices
     remapped to the trimmed node arrays, GT overlaps densified to (C, 2)
     index + overlap lists."""
-    o = {k: np.asarray(v) for k, v in out.items() if hasattr(v, "shape")}
+    # ONE batched fetch: per-key np.asarray serializes a device round trip
+    # per array (measured +107 ms for 4 arrays on the remote-device link in
+    # serving.load_exported; this dict has ~20)
+    o = jax.device_get({k: v for k, v in out.items() if hasattr(v, "shape")})
 
     ref_nv = o["nodes_ref_valid"]
     src_nv = o["nodes_src_valid"]

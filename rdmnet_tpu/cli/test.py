@@ -129,7 +129,8 @@ def main():
         (runs while the device computes the NEXT pair — jax dispatch is
         async, so this 1-deep pipeline overlaps host IO with compute)."""
         out, metrics, item, trunc0 = pending
-        metrics = {k: float(v) for k, v in metrics.items()}
+        # one batched fetch (per-key float() would round-trip per scalar)
+        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
         metrics["dropped"] += trunc0
         board.update_from_dict(metrics)
         dumped = trim_outputs(out, item["transform"])

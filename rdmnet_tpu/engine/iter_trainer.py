@@ -69,7 +69,9 @@ class IterBasedTrainer(Trainer):
             self.state, metrics = self.train_step(self.state, batch, sub)
             self.iteration += 1
             if self.iteration % self.log_steps == 0:
-                jax.block_until_ready(metrics["loss"])
+                # one batched fetch (doubles as the step barrier; per-key
+                # float() would round-trip per metric on remote links)
+                metrics = jax.device_get(metrics)
                 self.logger.info(
                     f"iter {self.iteration}/{self.max_iterations} | "
                     + ", ".join(f"{k}: {float(v):.4f}" for k, v in metrics.items())

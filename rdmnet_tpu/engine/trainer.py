@@ -141,7 +141,11 @@ class Trainer:
             timer.record_prepare()
             self.key, sub = jax.random.split(self.key)
             self.state, metrics = self.train_step(self.state, batch, sub)
-            jax.block_until_ready(metrics["loss"])
+            # one batched fetch per step: this is ALSO the step barrier
+            # (block_until_ready does not synchronize on remote-device
+            # links; per-key float() in the board would round-trip per
+            # metric — ~10 serialized fetches/step)
+            metrics = jax.device_get(metrics)
             timer.record_process()
             board.update_from_dict(metrics)
             if (i + 1) % self.log_steps == 0:
@@ -171,7 +175,7 @@ class Trainer:
                 float(np.sum(valid)) if valid is not None
                 else float(len(np_batch["ref_points"]))
             )
-            for k, v in metrics.items():
+            for k, v in jax.device_get(metrics).items():  # one batched fetch
                 try:
                     sums[k] = sums.get(k, 0.0) + float(v) * n_valid
                 except (TypeError, ValueError):
