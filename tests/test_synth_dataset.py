@@ -1,0 +1,46 @@
+"""Guard for scripts/make_synth_kitti.py: the generated root must load
+through RegistrationPairDataset with rigid-consistent GT in every split."""
+
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from rdmnet_tpu.data.datasets import RegistrationPairDataset
+from rdmnet_tpu.utils.se3_np import apply_transform
+
+SCRIPT = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                  "scripts", "make_synth_kitti.py")
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("synth")
+    scan = tmp / "scan.npy"
+    rng = np.random.RandomState(0)
+    np.save(scan, (rng.rand(2000, 4) * 40).astype(np.float32))
+    root = tmp / "root"
+    subprocess.run(
+        [sys.executable, SCRIPT, "--out", str(root), "--frames", "4",
+         "--scan", str(scan)],
+        check=True,
+    )
+    return str(root)
+
+
+@pytest.mark.parametrize("subset,n_pairs", [("train", 3), ("val", 2), ("test", 2)])
+def test_splits_load_with_rigid_gt(synth_root, subset, n_pairs):
+    ds = RegistrationPairDataset("kitti", synth_root, subset,
+                                 use_augmentation=False)
+    assert len(ds) == n_pairs
+    for i in range(len(ds)):
+        item = ds[i]
+        # frames are one base cloud under different rigid motions + 1 cm
+        # noise, so the GT transform must align src onto ref point-for-point
+        err = np.abs(
+            apply_transform(item["src_points"], item["transform"])
+            - item["ref_points"]
+        ).max()
+        assert err < 0.12, (subset, i, err)
