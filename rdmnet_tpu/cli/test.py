@@ -16,6 +16,7 @@ import argparse
 import dataclasses
 import os
 import os.path as osp
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,12 @@ def main():
         "--coarse_module", default=None,
         choices=["thdroformer", "geotransformer", "ape"],
         help="coarse transformer family (ablation; default thdroformer)",
+    )
+    parser.add_argument(
+        "--no_compress", action="store_true",
+        help="write uncompressed .npz feature dumps (compression is the "
+             "reference's format and the eval-loop host bottleneck; "
+             "cli/eval reads both)",
     )
     args = parser.parse_args()
     assert 0 <= args.shard_id < args.num_shards
@@ -123,11 +130,20 @@ def main():
     timer = Timer()
     timer.tic()
     indices = list(range(args.shard_id, len(dataset), args.num_shards))
+    savez = np.savez if args.no_compress else np.savez_compressed
+
+    # The compressed npz write (~1 s/pair, measured) dominates the eval
+    # loop if serialized with it — a small worker pool overlaps the writes
+    # with device compute. Two workers keep one write in flight while the
+    # next pair trims; more just contend for zlib CPU.
+    writer = ThreadPoolExecutor(max_workers=2)
+    writes = []
 
     def finalize(pending, n_done):
-        """Host-side fetch + trim + npz write for an already-dispatched pair
-        (runs while the device computes the NEXT pair — jax dispatch is
-        async, so this 1-deep pipeline overlaps host IO with compute)."""
+        """Host-side fetch + trim for an already-dispatched pair (runs while
+        the device computes the NEXT pair — jax dispatch is async, so this
+        1-deep pipeline overlaps host work with compute); the npz write
+        itself goes to the worker pool."""
         out, metrics, item, trunc0 = pending
         # one batched fetch (per-key float() would round-trip per scalar)
         metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -135,7 +151,9 @@ def main():
         board.update_from_dict(metrics)
         dumped = trim_outputs(out, item["transform"])
         name = f"{item['seq_id']}_{item['src_frame']}_{item['ref_frame']}"
-        np.savez_compressed(osp.join(feature_dir, name + ".npz"), **dumped)
+        writes.append(
+            writer.submit(savez, osp.join(feature_dir, name + ".npz"), **dumped)
+        )
         print(
             f"[{n_done}/{len(indices)}] {name} | "
             + ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
@@ -156,6 +174,9 @@ def main():
         pending = (out, metrics, item, trunc0)
     if pending is not None:
         finalize(pending, len(indices))
+    for w in writes:
+        w.result()  # surface any write error before declaring success
+    writer.shutdown()
 
     print("== summary ==")
     print(board.format())

@@ -58,6 +58,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--frames", type=int, default=7)
+    ap.add_argument("--test_frames", type=int, default=3,
+                    help="frames in the test split (seq 08); pairs = frames-1")
     ap.add_argument(
         "--scan", default="/root/reference/assets/pc/000000.npy",
         help="base cloud providing realistic point statistics",
@@ -71,12 +73,12 @@ def main():
 
     build_seq(args.out, 0, base, args.frames, rng)   # train split (seqs 0-5)
     build_seq(args.out, 6, base, 3, rng)             # val split (seqs 6-7)
-    build_seq(args.out, 8, base, 3, rng)             # test split (seqs 8-10)
+    build_seq(args.out, 8, base, args.test_frames, rng)  # test split (seqs 8-10)
     for seq in (1, 2, 3, 4, 5, 7, 9, 10):
         open(osp.join(args.out, "icp10", f"{seq:02d}"), "a").close()
     print(f"synthetic KITTI root at {args.out}: "
           f"{args.frames - 1} train pairs (seq 00), 2 val pairs (seq 06), "
-          f"2 test pairs (seq 08)")
+          f"{args.test_frames - 1} test pairs (seq 08)")
 
 
 if __name__ == "__main__":
