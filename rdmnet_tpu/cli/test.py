@@ -62,6 +62,12 @@ def main():
         help="coarse transformer family (ablation; default thdroformer)",
     )
     parser.add_argument(
+        "--bucket_scale", type=float, default=1.0,
+        help="pyramid capacity-bucket factor for this run (e.g. 0.7 fits "
+             "typical KITTI test scans at ~2/3 the device time; oversized "
+             "scans truncate and count in the dropped telemetry)",
+    )
+    parser.add_argument(
         "--no_compress", action="store_true",
         help="write uncompressed .npz feature dumps (compression is the "
              "reference's format and the eval-loop host bottleneck; "
@@ -93,6 +99,12 @@ def main():
     if args.dataset == "mulran":
         # vote disabled at inference for MulRan (reference test.py:107-108)
         cfg = cfg.replace(vote=dataclasses.replace(cfg.vote, inference_use_vote=False))
+    if args.bucket_scale != 1.0:
+        # static-shape capacity bucket for the whole run (the same
+        # PyramidConfig.scaled bucketing bench.py applies): typical KITTI
+        # test scans (~20k points) fit 0.7x caps at ~2/3 the device time.
+        # Scans beyond the bucket truncate and count in `dropped`.
+        cfg = cfg.replace(pyramid=cfg.pyramid.scaled(args.bucket_scale))
 
     feature_dir = args.feature_dir or f"output/features{args.dataset}"
     os.makedirs(feature_dir, exist_ok=True)
