@@ -16,6 +16,40 @@ from rdmnet_tpu.graph.pyramid import build_pair_batch, pad_cloud
 from rdmnet_tpu.models import RDMNet
 
 
+def make_cli_cfg(args) -> Config:
+    """Shared CLI config selection (test/infer/export/serve):
+
+    * parity predicate — ``--parity_cfg``, or ``--torch_checkpoint``
+      without ``--no_parity_cfg``, selects ``make_parity_cfg()``
+      (calibrated limits, exact search — required for converted
+      reference weights, STATUS.md round-2 #11);
+    * ``--coarse_module`` overrides the coarse transformer family.
+
+    CLIs apply their own further overrides (dataset quirks, buckets) on
+    the returned config.
+    """
+    import dataclasses
+
+    parity = getattr(args, "parity_cfg", False) or (
+        getattr(args, "torch_checkpoint", None)
+        and not getattr(args, "no_parity_cfg", False)
+    )
+    if parity:
+        from rdmnet_tpu.config import make_parity_cfg
+
+        cfg = make_parity_cfg()
+    else:
+        from rdmnet_tpu.config import make_cfg
+
+        cfg = make_cfg()
+    coarse = getattr(args, "coarse_module", None)
+    if coarse is not None:
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, coarse_module=coarse)
+        )
+    return cfg
+
+
 def build_model_and_params(
     cfg: Config, snapshot_dir: Optional[str] = None, epoch: Optional[int] = None,
     torch_checkpoint: Optional[str] = None,

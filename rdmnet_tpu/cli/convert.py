@@ -95,6 +95,11 @@ def export_checkpoint(cfg, snapshot_dir: str, schema_path: str,
         k: tuple(v.shape) for k, v in load_torch_checkpoint(schema_path).items()
     }
     sd = export_state_dict(params["params"], schema)
+    if epoch is None:
+        # label the blob with the snapshot actually restored (latest), not 0
+        from rdmnet_tpu.engine.checkpoint import CheckpointManager
+
+        epoch = CheckpointManager(snapshot_dir).latest_step()
     blob_epoch = epoch if epoch is not None else 0
     torch.save(
         {"model": {k: torch.from_numpy(np.array(v))  # copy: orbax arrays are read-only

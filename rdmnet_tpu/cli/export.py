@@ -48,23 +48,10 @@ def main():
     )
     args = parser.parse_args()
 
-    if args.parity_cfg or (args.torch_checkpoint and not args.no_parity_cfg):
-        from rdmnet_tpu.config import make_parity_cfg
-
-        cfg = make_parity_cfg()
-    else:
-        from rdmnet_tpu.config import make_cfg
-
-        cfg = make_cfg()
-    if args.coarse_module is not None:
-        import dataclasses
-
-        cfg = cfg.replace(
-            model=dataclasses.replace(cfg.model, coarse_module=args.coarse_module)
-        )
-
-    from rdmnet_tpu.cli.common import build_model_and_params
+    from rdmnet_tpu.cli.common import build_model_and_params, make_cli_cfg
     from rdmnet_tpu.serving import export_inference, load_exported
+
+    cfg = make_cli_cfg(args)
 
     _, params = build_model_and_params(
         cfg, args.snapshot_dir, args.test_epoch,

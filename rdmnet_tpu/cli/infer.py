@@ -16,8 +16,13 @@ import os.path as osp
 import jax
 import numpy as np
 
-from rdmnet_tpu.config import make_cfg
-from rdmnet_tpu.cli.common import build_model_and_params, make_forward, pad_pair_np, trim_outputs
+from rdmnet_tpu.cli.common import (
+    build_model_and_params,
+    make_cli_cfg,
+    make_forward,
+    pad_pair_np,
+    trim_outputs,
+)
 from rdmnet_tpu.data.datasets import RegistrationPairDataset
 
 
@@ -51,18 +56,7 @@ def main():
     )
     args = parser.parse_args()
 
-    if args.parity_cfg or (args.torch_checkpoint and not args.no_parity_cfg):
-        from rdmnet_tpu.config import make_parity_cfg
-
-        cfg = make_parity_cfg()
-    else:
-        cfg = make_cfg()
-    if args.coarse_module is not None:
-        import dataclasses
-
-        cfg = cfg.replace(
-            model=dataclasses.replace(cfg.model, coarse_module=args.coarse_module)
-        )
+    cfg = make_cli_cfg(args)
     os.makedirs(args.output_dir, exist_ok=True)
 
     dataset = RegistrationPairDataset(

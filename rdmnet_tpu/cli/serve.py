@@ -56,21 +56,28 @@ def make_handler(serve_fn, meta):
             if self.path != "/healthz":
                 self._send(404, b"not found", "text/plain")
                 return
-            body = json.dumps(
-                {"ok": True, **meta, **counter,
-                 "bucket_requests": {str(k): v for k, v in bucket_counts.items()}}
-            ).encode()
+            with lock:  # POST threads mutate counter/bucket_counts
+                body = json.dumps(
+                    {"ok": True, **meta, **counter,
+                     "bucket_requests": {str(k): v for k, v in bucket_counts.items()}}
+                ).encode()
             self._send(200, body, "application/json")
 
         def do_POST(self):
             if self.path != "/register":
                 self._send(404, b"not found", "text/plain")
                 return
-            try:
+            try:  # client errors -> 400
                 n = int(self.headers.get("Content-Length", 0))
                 data = np.load(io.BytesIO(self.rfile.read(n)), allow_pickle=False)
                 ref = np.asarray(data["ref_points"], np.float32)
                 src = np.asarray(data["src_points"], np.float32)
+            except Exception as e:  # malformed request must not kill the server
+                with lock:
+                    counter["errors"] += 1
+                self._send(400, f"bad request: {e}".encode(), "text/plain")
+                return
+            try:  # server/device faults -> 500 (so clients retry/fail over)
                 with lock:
                     out = serve_fn(ref, src)
                     counter["requests"] += 1
@@ -87,9 +94,10 @@ def make_handler(serve_fn, meta):
                     corr_scores=out["corr_scores"][sel],
                 )
                 self._send(200, buf.getvalue(), "application/octet-stream")
-            except Exception as e:  # malformed request must not kill the server
-                counter["errors"] += 1
-                self._send(400, f"bad request: {e}".encode(), "text/plain")
+            except Exception as e:
+                with lock:
+                    counter["errors"] += 1
+                self._send(500, f"internal error: {e}".encode(), "text/plain")
 
     return Handler
 
@@ -110,8 +118,13 @@ def main():
     serve_fn, meta = load_exported(args.artifact_dir)
     if args.warmup:
         rng = np.random.RandomState(0)
-        pts = (rng.rand(512, 3) * 20).astype(np.float32)
-        serve_fn(pts, pts)
+        # one pair PER bucket: each capacity is its own compiled program,
+        # so warming only one would leave the others' executable-load cost
+        # on their first real request
+        buckets = meta.get("buckets") or [{"cap": meta["cap"]}]
+        for b in buckets:
+            pts = (rng.rand(int(b["cap"]), 3) * 20).astype(np.float32)
+            serve_fn(pts, pts)
 
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(serve_fn, meta))

@@ -22,8 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rdmnet_tpu.config import make_cfg
-from rdmnet_tpu.cli.common import build_model_and_params, pad_pair_np, trim_outputs
+from rdmnet_tpu.cli.common import (
+    build_model_and_params,
+    make_cli_cfg,
+    pad_pair_np,
+    trim_outputs,
+)
 from rdmnet_tpu.graph.pyramid import build_pair_batch
 from rdmnet_tpu.data.datasets import RegistrationPairDataset
 from rdmnet_tpu.engine.meters import SummaryBoard, Timer
@@ -76,25 +80,17 @@ def main():
     args = parser.parse_args()
     assert 0 <= args.shard_id < args.num_shards
 
-    if args.parity_cfg or (args.torch_checkpoint and not args.no_parity_cfg):
-        from rdmnet_tpu.config import make_parity_cfg
-
-        cfg = make_parity_cfg()
-        if args.dataset != "kitti":
-            # the preset's neighbor limits are KITTI-calibrated; the
-            # reference calibrates per dataset (utils/data.py:195-220) and
-            # wrong limits measurably shift features under converted
-            # weights (STATUS.md) — recalibrate before trusting metrics
-            print(
-                f"WARNING: parity preset uses KITTI-calibrated neighbor "
-                f"limits; for {args.dataset} run `preprocess calibrate` "
-                f"and set PyramidConfig.neighbor_limits accordingly"
-            )
-    else:
-        cfg = make_cfg()
-    if args.coarse_module is not None:
-        cfg = cfg.replace(
-            model=dataclasses.replace(cfg.model, coarse_module=args.coarse_module)
+    cfg = make_cli_cfg(args)
+    parity = args.parity_cfg or (args.torch_checkpoint and not args.no_parity_cfg)
+    if parity and args.dataset != "kitti":
+        # the parity preset's neighbor limits are KITTI-calibrated; the
+        # reference calibrates per dataset (utils/data.py:195-220) and
+        # wrong limits measurably shift features under converted
+        # weights (STATUS.md) — recalibrate before trusting metrics
+        print(
+            f"WARNING: parity preset uses KITTI-calibrated neighbor "
+            f"limits; for {args.dataset} run `preprocess calibrate` "
+            f"and set PyramidConfig.neighbor_limits accordingly"
         )
     if args.dataset == "mulran":
         # vote disabled at inference for MulRan (reference test.py:107-108)
@@ -166,6 +162,11 @@ def main():
         writes.append(
             writer.submit(savez, osp.join(feature_dir, name + ".npz"), **dumped)
         )
+        # backpressure: each queued future pins a full per-pair dump in
+        # memory — when writes outpace the pool, block on the oldest
+        # instead of growing unboundedly over a long shard
+        while len(writes) > 4:
+            writes.pop(0).result()
         print(
             f"[{n_done}/{len(indices)}] {name} | "
             + ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
