@@ -116,6 +116,25 @@ def main():
         cfg, args.snapshot_dir, args.test_epoch,
         torch_checkpoint=args.torch_checkpoint,
     )
+    indices = list(range(args.shard_id, len(dataset), args.num_shards))
+    board = run_eval_loop(
+        cfg, model, params, dataset, indices, feature_dir,
+        compress=not args.no_compress,
+    )
+    print("== summary ==")
+    print(board.format())
+
+
+def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
+                  compress=True, log=print):
+    """Dump features + metrics for ``indices`` of ``dataset`` (the tester
+    body of reference test.py:19-115). Returns the SummaryBoard.
+
+    Pipelining: the forward for pair i+1 is dispatched BEFORE pair i's
+    host-side fetch/trim (jax dispatch is async), and the compressed npz
+    write (~1 s/pair, the host bottleneck) runs in a small worker pool —
+    two workers keep one write in flight while the next pair trims;
+    bounded in-flight futures cap host memory on long shards."""
     evaluator = Evaluator(cfg)
 
     @jax.jit
@@ -137,21 +156,11 @@ def main():
     board = SummaryBoard()
     timer = Timer()
     timer.tic()
-    indices = list(range(args.shard_id, len(dataset), args.num_shards))
-    savez = np.savez if args.no_compress else np.savez_compressed
-
-    # The compressed npz write (~1 s/pair, measured) dominates the eval
-    # loop if serialized with it — a small worker pool overlaps the writes
-    # with device compute. Two workers keep one write in flight while the
-    # next pair trims; more just contend for zlib CPU.
+    savez = np.savez_compressed if compress else np.savez
     writer = ThreadPoolExecutor(max_workers=2)
     writes = []
 
     def finalize(pending, n_done):
-        """Host-side fetch + trim for an already-dispatched pair (runs while
-        the device computes the NEXT pair — jax dispatch is async, so this
-        1-deep pipeline overlaps host work with compute); the npz write
-        itself goes to the worker pool."""
         out, metrics, item, trunc0 = pending
         # one batched fetch (per-key float() would round-trip per scalar)
         metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -167,7 +176,7 @@ def main():
         # instead of growing unboundedly over a long shard
         while len(writes) > 4:
             writes.pop(0).result()
-        print(
+        log(
             f"[{n_done}/{len(indices)}] {name} | "
             + ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
             + f" | prep {timer.prepare_time():.3f}s proc {timer.process_time():.3f}s"
@@ -190,9 +199,7 @@ def main():
     for w in writes:
         w.result()  # surface any write error before declaring success
     writer.shutdown()
-
-    print("== summary ==")
-    print(board.format())
+    return board
 
 
 if __name__ == "__main__":

@@ -44,3 +44,37 @@ def test_splits_load_with_rigid_gt(synth_root, subset, n_pairs):
             - item["ref_points"]
         ).max()
         assert err < 0.12, (subset, i, err)
+
+
+@pytest.mark.slow
+def test_eval_loop_dumps_and_metrics(synth_root, tmp_path):
+    """cli/test.run_eval_loop: pipelined forward + pooled npz writes produce
+    one consumable dump per pair and a populated summary board."""
+    from rdmnet_tpu.cli.common import build_model_and_params
+    from rdmnet_tpu.cli.test import run_eval_loop
+    from rdmnet_tpu.config import make_tiny_cfg
+
+    cfg = make_tiny_cfg()
+    model, params = build_model_and_params(cfg)
+    ds = RegistrationPairDataset("kitti", synth_root, "test",
+                                 use_augmentation=False)
+    feature_dir = str(tmp_path / "features")
+    import os
+    os.makedirs(feature_dir)
+    lines = []
+    board = run_eval_loop(
+        cfg, model, params, ds, list(range(len(ds))), feature_dir,
+        compress=True, log=lines.append,
+    )
+    assert len(lines) == len(ds)
+    fmt = board.format()
+    for key in ("IR", "PIR", "RR", "dropped"):
+        assert key in fmt
+    import glob
+    import os.path as osp
+    dumps = sorted(glob.glob(osp.join(feature_dir, "*.npz")))
+    assert len(dumps) == len(ds)
+    d = np.load(dumps[0])
+    for key in ("ref_points", "src_points", "estimated_transform", "transform"):
+        assert key in d.files, key
+    assert np.all(np.isfinite(d["estimated_transform"]))
