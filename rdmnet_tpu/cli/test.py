@@ -72,6 +72,12 @@ def main():
              "scans truncate and count in the dropped telemetry)",
     )
     parser.add_argument(
+        "--vis", action="store_true",
+        help="per-pair PLY visualization exports under <feature_dir>/vis "
+             "(clouds + green/red correspondence lines — the headless "
+             "equivalent of the reference's cfg.test.vis renderings)",
+    )
+    parser.add_argument(
         "--no_compress", action="store_true",
         help="write uncompressed .npz feature dumps (compression is the "
              "reference's format and the eval-loop host bottleneck; "
@@ -120,13 +126,14 @@ def main():
     board = run_eval_loop(
         cfg, model, params, dataset, indices, feature_dir,
         compress=not args.no_compress,
+        vis_dir=osp.join(feature_dir, "vis") if args.vis else None,
     )
     print("== summary ==")
     print(board.format())
 
 
 def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
-                  compress=True, log=print):
+                  compress=True, log=print, vis_dir=None):
     """Dump features + metrics for ``indices`` of ``dataset`` (the tester
     body of reference test.py:19-115). Returns the SummaryBoard.
 
@@ -171,6 +178,24 @@ def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
         writes.append(
             writer.submit(savez, osp.join(feature_dir, name + ".npz"), **dumped)
         )
+        if vis_dir:
+            # headless stand-in for the reference's cfg.test.vis o3d windows
+            # (visualization.py:296-436): per-pair PLY exports, green/red
+            # correspondence lines by GT residual at the eval radius
+            from rdmnet_tpu.utils.se3_np import apply_transform
+            from rdmnet_tpu.utils.visualization import export_correspondences
+
+            resid = np.linalg.norm(
+                apply_transform(dumped["src_corr_points"], item["transform"])
+                - dumped["ref_corr_points"], axis=1,
+            )
+            writes.append(writer.submit(
+                export_correspondences,
+                osp.join(vis_dir, name),
+                dumped["ref_points"], dumped["src_points"],
+                dumped["ref_corr_points"], dumped["src_corr_points"],
+                corr_correct=resid < cfg.eval.acceptance_radius,
+            ))
         # backpressure: each queued future pins a full per-pair dump in
         # memory — when writes outpace the pool, block on the oldest
         # instead of growing unboundedly over a long shard

@@ -62,9 +62,10 @@ def test_eval_loop_dumps_and_metrics(synth_root, tmp_path):
     import os
     os.makedirs(feature_dir)
     lines = []
+    vis_dir = str(tmp_path / "vis")
     board = run_eval_loop(
         cfg, model, params, ds, list(range(len(ds))), feature_dir,
-        compress=True, log=lines.append,
+        compress=True, log=lines.append, vis_dir=vis_dir,
     )
     assert len(lines) == len(ds)
     fmt = board.format()
@@ -78,3 +79,14 @@ def test_eval_loop_dumps_and_metrics(synth_root, tmp_path):
     for key in ("ref_points", "src_points", "estimated_transform", "transform"):
         assert key in d.files, key
     assert np.all(np.isfinite(d["estimated_transform"]))
+    # --vis equivalent: per-pair PLY exports (clouds always; line files
+    # depend on whether any/all correspondences were correct)
+    pair_dirs = sorted(glob.glob(osp.join(vis_dir, "*")))
+    assert len(pair_dirs) == len(ds)
+    for pd in pair_dirs:
+        plys = glob.glob(osp.join(pd, "*.ply"))
+        names = {osp.basename(p) for p in plys}
+        assert {"ref_points.ply", "src_points.ply"} <= names
+        assert names & {"correspondences_correct.ply", "correspondences_wrong.ply"}
+        with open(plys[0]) as f:
+            assert f.readline().strip() == "ply"
