@@ -121,3 +121,35 @@ class TestFigureFiles:
         assert "8" in report
         assert report["8"]["ate_rmse_cm"] < 1e-3
         assert (tmp_path / "traj_seq8_lgr.png").exists()
+
+
+class TestTrainingCurves:
+    def test_plot_from_metrics_jsonl(self, tmp_path):
+        """scripts/plot_training.py: the TensorBoard-scalar stand-in renders
+        one panel per metric per phase from a trainer metrics.jsonl."""
+        import json
+        import os.path as osp
+        import sys
+
+        root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+        sys.path.insert(0, osp.join(root, "scripts"))
+        try:
+            from plot_training import load_metrics, plot_phase
+        finally:
+            sys.path.pop(0)
+
+        path = tmp_path / "metrics.jsonl"
+        with open(path, "w") as f:
+            for epoch in range(3):
+                f.write(json.dumps({"phase": "train", "epoch": epoch,
+                                    "loss": 10.0 / (epoch + 1),
+                                    "grad_norm": 5.0}) + "\n")
+                f.write(json.dumps({"phase": "val", "epoch": epoch,
+                                    "RR": 0.2 * epoch, "RRE": 3.0}) + "\n")
+        series = load_metrics(str(path))
+        assert series["train"]["loss"][1][0] == 10.0
+        assert series["val"]["RR"][0] == [0, 1, 2]
+        for phase in ("train", "val"):
+            out = tmp_path / f"{phase}.png"
+            assert plot_phase(series, phase, str(out), logy_keys={"loss"})
+            assert out.stat().st_size > 0
