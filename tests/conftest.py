@@ -18,6 +18,17 @@ import jax  # noqa: E402
 # the config update is.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is compile-dominated (the slowest
+# tests are ~95% XLA:CPU compile), and cache keys are HLO content hashes,
+# so re-runs after the first drop from minutes to seconds. Repo-local so
+# `git clean` / fresh checkouts start cold. Opt out: RDMNET_TEST_CACHE=0.
+if os.environ.get("RDMNET_TEST_CACHE", "1") != "0":
+    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache", "jax_test_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
