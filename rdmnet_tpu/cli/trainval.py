@@ -31,8 +31,29 @@ def main():
     parser.add_argument("--output_dir", default="output/rdmnet_tpu")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--max_epoch", type=int, default=None)
+    parser.add_argument(
+        "--lr", type=float, default=None,
+        help="base learning rate (default: the reference's Adam 1e-4, "
+             "config.py:78; scaled by dp world size like its DDP path)",
+    )
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--log_steps", type=int, default=10)
+    parser.add_argument(
+        "--keep_snapshots", type=int, default=None,
+        help="keep only the newest N epoch snapshots (default: keep all, "
+             "like the reference's per-epoch .pth.tar files)",
+    )
+    parser.add_argument(
+        "--no_augmentation", action="store_true",
+        help="disable train-time augmentation (the reference's "
+             "cfg.train.use_augmentation switch, config.py:47)",
+    )
+    parser.add_argument(
+        "--bucket_scale", type=float, default=1.0,
+        help="pyramid capacity-bucket factor for the whole run (same "
+             "static-shape bucketing as cli.test; 0.7 fits typical KITTI "
+             "scans at ~2/3 the device time per step)",
+    )
     parser.add_argument(
         "--dp", type=int, default=None,
         help="data-parallel mesh size: N devices, -1 = all, 1 = off (default)",
@@ -76,6 +97,12 @@ def main():
     cfg = make_cfg()
     if args.max_epoch is not None:
         cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, max_epoch=args.max_epoch))
+    if args.lr is not None:
+        cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, lr=args.lr))
+    if args.no_augmentation:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, use_augmentation=False))
+    if args.bucket_scale != 1.0:
+        cfg = cfg.replace(pyramid=cfg.pyramid.scaled(args.bucket_scale))
     if args.dp is not None:
         cfg = cfg.replace(parallel=dataclasses.replace(cfg.parallel, dp=args.dp))
     if args.scheduler is not None:
@@ -123,6 +150,7 @@ def main():
     trainer = Trainer(
         cfg, train_loader, val_loader,
         output_dir=args.output_dir, log_steps=args.log_steps,
+        keep_snapshots=args.keep_snapshots,
     )
     trainer.run(resume=args.resume)
 

@@ -1,11 +1,15 @@
-"""Synthesize a tiny KITTI-layout dataset from the bundled demo scan.
+"""Synthesize a tiny KITTI-layout dataset from the bundled demo scans.
 
 Builds ``--out`` with the exact KITTI schema the framework (and the
 reference, kitti/dataset.py:17-38,106) consumes — ``downsampled_xyzi/%02d/
 %06d.npy`` clouds + ``icp10/%02d`` GT pair files — by applying known rigid
-motions to the real demo scan, so an end-to-end `rdmnet-trainval` /
-`rdmnet-test` smoke run needs no external data. Train pairs live in seq 00,
-val pairs in seq 06 (the splits at data/datasets.py SCHEMAS).
+motions to real demo scans, so an end-to-end `rdmnet-trainval` /
+`rdmnet-test` run needs no external data. With multiple ``--scan`` bases
+(default: the three bundled KITTI scans) each base gets its own train
+sequence (seqs 00..), plus val (06..) and test (08..) sequences built from
+the same geometries under HELD-OUT rigid motions — so test-split metrics
+measure motion generalization, not sample memorization. Splits follow
+data/datasets.py SCHEMAS: train seqs 0-5, val 6-7, test 8-10.
 
 Usage: python scripts/make_synth_kitti.py --out /tmp/synth_kitti [--frames 7]
 """
@@ -59,26 +63,47 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--frames", type=int, default=7)
     ap.add_argument("--test_frames", type=int, default=3,
-                    help="frames in the test split (seq 08); pairs = frames-1")
+                    help="frames per test sequence; pairs = frames-1")
     ap.add_argument(
-        "--scan", default="/root/reference/assets/pc/000000.npy",
-        help="base cloud providing realistic point statistics",
+        "--scan", nargs="+",
+        default=[
+            "/root/reference/assets/pc/000000.npy",
+            "/root/reference/assets/pc/000004.npy",
+            "/root/reference/assets/pc/000007.npy",
+        ],
+        help="base cloud(s) providing realistic point statistics; each "
+             "gets its own train sequence (and val/test sequences with "
+             "fresh motions, capped at 2 and 3 sequences by the splits)",
     )
     args = ap.parse_args()
 
+    assert 1 <= len(args.scan) <= 3, "KITTI splits allow at most 3 test seqs"
     rng = np.random.RandomState(7351)
-    base = np.load(args.scan).astype(np.float32)
-    if base.shape[1] == 3:
-        base = np.concatenate([base, np.zeros((len(base), 1), np.float32)], 1)
+    bases = []
+    for path in args.scan:
+        base = np.load(path).astype(np.float32)
+        if base.shape[1] == 3:
+            base = np.concatenate([base, np.zeros((len(base), 1), np.float32)], 1)
+        bases.append(base)
 
-    build_seq(args.out, 0, base, args.frames, rng)   # train split (seqs 0-5)
-    build_seq(args.out, 6, base, 3, rng)             # val split (seqs 6-7)
-    build_seq(args.out, 8, base, args.test_frames, rng)  # test split (seqs 8-10)
-    for seq in (1, 2, 3, 4, 5, 7, 9, 10):
-        open(osp.join(args.out, "icp10", f"{seq:02d}"), "a").close()
+    train_seqs, val_seqs, test_seqs = [], [], []
+    for i, base in enumerate(bases):                 # train split (seqs 0-5)
+        build_seq(args.out, i, base, args.frames, rng)
+        train_seqs.append(i)
+    for i, base in enumerate(bases[:2]):             # val split (seqs 6-7)
+        build_seq(args.out, 6 + i, base, 3, rng)
+        val_seqs.append(6 + i)
+    for i, base in enumerate(bases):                 # test split (seqs 8-10)
+        build_seq(args.out, 8 + i, base, args.test_frames, rng)
+        test_seqs.append(8 + i)
+    for seq in range(11):
+        path = osp.join(args.out, "icp10", f"{seq:02d}")
+        if not osp.exists(path):
+            open(path, "a").close()
     print(f"synthetic KITTI root at {args.out}: "
-          f"{args.frames - 1} train pairs (seq 00), 2 val pairs (seq 06), "
-          f"{args.test_frames - 1} test pairs (seq 08)")
+          f"{len(train_seqs) * (args.frames - 1)} train pairs (seqs {train_seqs}), "
+          f"{len(val_seqs) * 2} val pairs (seqs {val_seqs}), "
+          f"{len(test_seqs) * (args.test_frames - 1)} test pairs (seqs {test_seqs})")
 
 
 if __name__ == "__main__":

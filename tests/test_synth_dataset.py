@@ -88,5 +88,37 @@ def test_eval_loop_dumps_and_metrics(synth_root, tmp_path):
         names = {osp.basename(p) for p in plys}
         assert {"ref_points.ply", "src_points.ply"} <= names
         assert names & {"correspondences_correct.ply", "correspondences_wrong.ply"}
+        # vote + grouping exports (reference model.py:224-231, :275-276)
+        for side in ("ref", "src"):
+            assert {f"{side}_vote_offsets.ply", f"{side}_shifted_nodes.ply",
+                    f"{side}_grouping.ply"} <= names, (pd, names)
         with open(plys[0]) as f:
             assert f.readline().strip() == "ply"
+
+
+def test_multi_scan_generator(tmp_path):
+    """Multiple --scan bases map to one train/test sequence each with
+    held-out motions per split."""
+    rng = np.random.RandomState(1)
+    scans = []
+    for i in range(2):
+        p = tmp_path / f"scan{i}.npy"
+        np.save(p, (rng.rand(1500, 4) * 40).astype(np.float32))
+        scans.append(str(p))
+    root = tmp_path / "root"
+    subprocess.run(
+        [sys.executable, SCRIPT, "--out", str(root), "--frames", "3",
+         "--test_frames", "2", "--scan"] + scans,
+        check=True,
+    )
+    for subset, n_pairs in (("train", 4), ("val", 4), ("test", 2)):
+        ds = RegistrationPairDataset("kitti", str(root), subset,
+                                     use_augmentation=False)
+        assert len(ds) == n_pairs, subset
+        for i in range(len(ds)):
+            item = ds[i]
+            err = np.abs(
+                apply_transform(item["src_points"], item["transform"])
+                - item["ref_points"]
+            ).max()
+            assert err < 0.12, (subset, i, err)
