@@ -121,11 +121,14 @@ def make_forward(cfg: Config, model, with_gt: bool):
     return forward
 
 
-def trim_outputs(out: Dict, transform: np.ndarray) -> Dict[str, np.ndarray]:
+def trim_outputs(out: Dict, transform: np.ndarray,
+                 vis: bool = False) -> Dict[str, np.ndarray]:
     """Convert padded static outputs to the reference's dynamic npz schema
     (reference experiments/test.py:70-98): masked rows dropped, node indices
     remapped to the trimmed node arrays, GT overlaps densified to (C, 2)
-    index + overlap lists."""
+    index + overlap lists. ``vis=True`` adds ``vis_*`` extras (original /
+    shifted coarse nodes + NMS survivor masks) consumed by the --vis
+    exports, never written to the npz dump."""
     # ONE batched fetch: per-key np.asarray serializes a device round trip
     # per array (measured +107 ms for 4 arrays on the remote-device link in
     # serving.load_exported; this dict has ~20)
@@ -167,4 +170,13 @@ def trim_outputs(out: Dict, transform: np.ndarray) -> Dict[str, np.ndarray]:
         result["corr_scores"] = o["corr_scores"][sel]
     if "estimated_transform" in o:
         result["estimated_transform"] = o["estimated_transform"]
+    if vis:
+        # vote/grouping export inputs (reference vis_shifte_node /
+        # vis_node_grouping, rdmnet/utils/visualization.py:296-436)
+        for side in ("ref", "src"):
+            mc = o[f"{side}_mask_c"]
+            result[f"vis_{side}_nodes"] = o[f"{side}_points_c"][mc]
+            if f"shifted_{side}_points_c" in o:
+                result[f"vis_{side}_shifted"] = o[f"shifted_{side}_points_c"][mc]
+            result[f"vis_{side}_keep"] = o[f"nodes_{side}_valid"][mc]
     return result

@@ -132,6 +132,51 @@ def main():
     print(board.format())
 
 
+def _nearest_owner(points: np.ndarray, nodes: np.ndarray, chunk=4096):
+    """Owner node id per point (argmin distance), chunked host numpy."""
+    owners = np.empty(len(points), np.int64)
+    for s in range(0, len(points), chunk):
+        d = np.linalg.norm(points[s:s + chunk, None] - nodes[None], axis=2)
+        owners[s:s + chunk] = d.argmin(axis=1)
+    return owners
+
+
+def _export_pair_vis(pair_dir, dumped, vis, transform, acceptance_radius):
+    """One pair's PLY exports: the headless equivalents of the reference's
+    three cfg.test.vis renderings (model.py:224-231 vote, :275-276
+    grouping, :369-384 correspondences)."""
+    from rdmnet_tpu.utils.se3_np import apply_transform
+    from rdmnet_tpu.utils.visualization import (
+        export_correspondences,
+        export_grouping,
+        export_votes,
+    )
+
+    resid = np.linalg.norm(
+        apply_transform(dumped["src_corr_points"], transform)
+        - dumped["ref_corr_points"], axis=1,
+    )
+    export_correspondences(
+        pair_dir,
+        dumped["ref_points"], dumped["src_points"],
+        dumped["ref_corr_points"], dumped["src_corr_points"],
+        corr_correct=resid < acceptance_radius,
+    )
+    for side in ("ref", "src"):
+        if f"vis_{side}_shifted" in vis:
+            export_votes(
+                pair_dir, vis[f"vis_{side}_nodes"], vis[f"vis_{side}_shifted"],
+                keep_mask=vis[f"vis_{side}_keep"], prefix=f"{side}_",
+            )
+        # grouping over the final node set (reference draws original and
+        # shifted variants; the final set is the one the matcher consumes)
+        points = dumped[f"{side}_points_f"]
+        nodes = dumped[f"{side}_points_c"]
+        if len(nodes):
+            export_grouping(pair_dir, points, _nearest_owner(points, nodes),
+                            prefix=f"{side}_")
+
+
 def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
                   compress=True, log=print, vis_dir=None):
     """Dump features + metrics for ``indices`` of ``dataset`` (the tester
@@ -173,28 +218,21 @@ def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
         metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
         metrics["dropped"] += trunc0
         board.update_from_dict(metrics)
-        dumped = trim_outputs(out, item["transform"])
+        dumped = trim_outputs(out, item["transform"], vis=vis_dir is not None)
         name = f"{item['seq_id']}_{item['src_frame']}_{item['ref_frame']}"
+        # vis_* extras feed only the PLY exports, never the npz schema
+        vis = {k: dumped.pop(k) for k in list(dumped) if k.startswith("vis_")}
         writes.append(
             writer.submit(savez, osp.join(feature_dir, name + ".npz"), **dumped)
         )
         if vis_dir:
             # headless stand-in for the reference's cfg.test.vis o3d windows
-            # (visualization.py:296-436): per-pair PLY exports, green/red
-            # correspondence lines by GT residual at the eval radius
-            from rdmnet_tpu.utils.se3_np import apply_transform
-            from rdmnet_tpu.utils.visualization import export_correspondences
-
-            resid = np.linalg.norm(
-                apply_transform(dumped["src_corr_points"], item["transform"])
-                - dumped["ref_corr_points"], axis=1,
-            )
+            # (visualization.py:296-436): per-pair PLY exports — green/red
+            # correspondence lines by GT residual at the eval radius, vote
+            # offsets + NMS survivors, point-to-node groupings
             writes.append(writer.submit(
-                export_correspondences,
-                osp.join(vis_dir, name),
-                dumped["ref_points"], dumped["src_points"],
-                dumped["ref_corr_points"], dumped["src_corr_points"],
-                corr_correct=resid < cfg.eval.acceptance_radius,
+                _export_pair_vis, osp.join(vis_dir, name), dumped, vis,
+                item["transform"], cfg.eval.acceptance_radius,
             ))
         # backpressure: each queued future pins a full per-pair dump in
         # memory — when writes outpace the pool, block on the oldest

@@ -103,20 +103,24 @@ def export_votes(
     nodes: np.ndarray,
     shifted_nodes: np.ndarray,
     keep_mask: Optional[np.ndarray] = None,
+    prefix: str = "",
 ):
     """Vote/offset visualization (reference vis_shifte_node): lines from
     original nodes to their shifted positions; NMS survivors colored."""
-    write_ply_lines(os.path.join(out_dir, "vote_offsets.ply"), nodes, shifted_nodes,
-                    color=(1.0, 0.5, 0.0))
+    write_ply_lines(os.path.join(out_dir, f"{prefix}vote_offsets.ply"),
+                    nodes, shifted_nodes, color=(1.0, 0.5, 0.0))
     colors = np.tile([[0.2, 0.2, 1.0]], (len(shifted_nodes), 1))
     if keep_mask is not None:
         colors[keep_mask.astype(bool)] = [1.0, 0.2, 0.2]
-    write_ply_points(os.path.join(out_dir, "shifted_nodes.ply"), shifted_nodes, colors)
+    write_ply_points(os.path.join(out_dir, f"{prefix}shifted_nodes.ply"),
+                     shifted_nodes, colors)
 
 
-def export_grouping(out_dir: str, points: np.ndarray, owner: np.ndarray):
+def export_grouping(out_dir: str, points: np.ndarray, owner: np.ndarray,
+                    prefix: str = ""):
     """Point-to-node grouping visualization (reference vis_node_grouping):
     each patch gets a pseudo-random color by owner id."""
     rng = np.random.RandomState(0)
     palette = rng.rand(int(owner.max()) + 1, 3) * 0.8 + 0.2
-    write_ply_points(os.path.join(out_dir, "grouping.ply"), points, palette[owner])
+    write_ply_points(os.path.join(out_dir, f"{prefix}grouping.ply"),
+                     points, palette[owner])
