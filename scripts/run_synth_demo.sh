@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# End-to-end framework demonstration with ZERO external data: synthesize a
+# KITTI-layout dataset from the bundled demo scans, train from random init,
+# evaluate the held-out test split through the same CLIs a real KITTI run
+# uses, and render figures. On a TPU v5e this completes in ~45 min
+# (~14 s/epoch at the 0.7 capacity bucket) and reaches RR=1.0 with
+# sub-degree RRE on the 6 held-out-motion test pairs (see STATUS.md).
+#
+# Usage: bash scripts/run_synth_demo.sh [WORKDIR] [EPOCHS]
+set -euo pipefail
+
+WORK=${1:-/tmp/rdmnet_synth_demo}
+EPOCHS=${2:-200}
+ROOT="$WORK/data"
+RUN="$WORK/run"
+FEATS="$WORK/features"
+
+python scripts/make_synth_kitti.py --out "$ROOT"
+
+python -m rdmnet_tpu.cli.trainval --root "$ROOT" --output_dir "$RUN" \
+    --max_epoch "$EPOCHS" --lr 5e-4 --no_augmentation --bucket_scale 0.7 \
+    --keep_snapshots 3 --log_steps 20
+
+python scripts/plot_training.py --run "$RUN"
+
+python -m rdmnet_tpu.cli.test --dataset kitti --root "$ROOT" \
+    --snapshot_dir "$RUN/snapshots" --feature_dir "$FEATS" \
+    --bucket_scale 0.7 --vis
+
+python -m rdmnet_tpu.cli.eval --feature_dir "$FEATS" --method lgr --figures
+
+echo "demo artifacts under $WORK: run/figures (training curves)," \
+     "features/vis (per-pair PLY exports), features/figures (trajectories)"
