@@ -29,5 +29,11 @@ python -m rdmnet_tpu.cli.test --dataset kitti --root "$ROOT" \
 
 python -m rdmnet_tpu.cli.eval --feature_dir "$FEATS" --method lgr --figures
 
+# production path: AOT-export the trained model as a serving artifact and
+# verify the reloaded artifact reproduces the live pipeline bit-for-bit
+python -m rdmnet_tpu.cli.export --snapshot_dir "$RUN/snapshots" \
+    --out_dir "$WORK/export" --buckets 0.7 --check
+
 echo "demo artifacts under $WORK: run/figures (training curves)," \
-     "features/vis (per-pair PLY exports), features/figures (trajectories)"
+     "features/vis (per-pair PLY exports), features/figures (trajectories)," \
+     "export (serving artifact; serve with rdmnet-serve --artifact_dir)"
