@@ -41,6 +41,17 @@ class CheckpointManager:
         self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
+    def read_metadata(self, step: Optional[int] = None) -> dict:
+        """Read only the JSON metadata of a snapshot (no state restore)."""
+        self._mgr.wait_until_finished()
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        restored = self._mgr.restore(
+            step, args=ocp.args.Composite(metadata=ocp.args.JsonRestore())
+        )
+        return restored.get("metadata") or {}
+
     def restore(self, state_template: Any, step: Optional[int] = None) -> Tuple[Any, dict]:
         self._mgr.wait_until_finished()
         step = step if step is not None else self.latest_step()

@@ -92,6 +92,18 @@ class Trainer:
         self.snapshots = CheckpointManager(
             os.path.join(output_dir, "snapshots"), max_to_keep=keep_snapshots
         )
+        # best-by-validation snapshot (snapshots_best/, max_to_keep=1).
+        # The reference finds its best epoch by sweeping every per-epoch
+        # .pth.tar through test_batchoffline.py; tracking the best val
+        # registration score during training gives the same artifact for
+        # the cost of the validation pass we already run. Selection order:
+        # higher RR, then lower RRE, then lower RTE (the same ordering the
+        # published results table uses). `rdmnet-test --snapshot_dir
+        # <run>/snapshots_best` evaluates it.
+        self.best_snapshots = CheckpointManager(
+            os.path.join(output_dir, "snapshots_best"), max_to_keep=1
+        )
+        self._best_score = None
 
         # explicit opt-in: dp=-1 (all devices) or dp>1 builds the mesh;
         # the old device_count>1 check silently built a 1-device mesh and
@@ -130,6 +142,11 @@ class Trainer:
             return
         self.state, meta = self.snapshots.restore(self.state, step)
         self.epoch = int(meta.get("epoch", step))
+        try:
+            best_meta = self.best_snapshots.read_metadata()
+            self._best_score = tuple(best_meta["score"])
+        except (FileNotFoundError, KeyError):
+            pass
         self.logger.info(f"resumed from snapshot step={step} epoch={self.epoch}")
 
     def train_epoch(self):
@@ -186,6 +203,37 @@ class Trainer:
         self.logger.info(f"val epoch {self.epoch} | {line}")
         return summary
 
+    @staticmethod
+    def _val_score(summary: dict):
+        """Ordering for best-snapshot selection: maximize RR, break ties on
+        lower RRE then lower RTE (the published-results ordering)."""
+        if "RR" not in summary:
+            return None
+        return (
+            float(summary["RR"]),
+            -float(summary.get("RRE", np.inf)),
+            -float(summary.get("RTE", np.inf)),
+        )
+
+    def _maybe_save_best(self, val_summary: dict):
+        score = self._val_score(val_summary)
+        if score is None:
+            return
+        if self._best_score is not None and tuple(score) <= tuple(self._best_score):
+            return
+        self._best_score = score
+        self.best_snapshots.save(
+            self.epoch,
+            jax.device_get(self.state),
+            metadata={"epoch": self.epoch, "score": list(score),
+                      **{k: float(v) for k, v in val_summary.items()
+                         if isinstance(v, (int, float))}},
+        )
+        self.logger.info(
+            f"new best val snapshot at epoch {self.epoch} "
+            f"(RR {score[0]:.4f}, RRE {-score[1]:.4f}, RTE {-score[2]:.4f})"
+        )
+
     def _write_metrics(self, phase: str, summary: dict):
         """Append a metrics record to metrics.jsonl (stands in for the
         reference's TensorBoard scalars, base_trainer.py:250-255)."""
@@ -213,8 +261,11 @@ class Trainer:
                 metadata={"epoch": self.epoch,
                           "loss": float(train_summary.get("loss", np.nan))},
             )
+            if val_summary:
+                self._maybe_save_best(val_summary)
             self.logger.info(
                 f"epoch {self.epoch} done in {time.time() - t0:.1f}s; snapshot saved"
             )
         # async snapshot writes must land before the process exits
         self.snapshots.wait_until_finished()
+        self.best_snapshots.wait_until_finished()

@@ -17,21 +17,26 @@ FEATS="$WORK/features"
 
 python scripts/make_synth_kitti.py --out "$ROOT"
 
+# warmup_cosine anneals the lr to 10% by the end (batch-1 training at a
+# flat-ish lr oscillates between registration hits late in the run — seen
+# live); the test step then evaluates the best-validation-RR snapshot the
+# trainer tracked (snapshots_best/), not whatever epoch happened to be last
 python -m rdmnet_tpu.cli.trainval --root "$ROOT" --output_dir "$RUN" \
     --max_epoch "$EPOCHS" --lr 5e-4 --no_augmentation --bucket_scale 0.7 \
+    --scheduler warmup_cosine --warmup_steps 100 \
     --keep_snapshots 3 --log_steps 20
 
 python scripts/plot_training.py --run "$RUN"
 
 python -m rdmnet_tpu.cli.test --dataset kitti --root "$ROOT" \
-    --snapshot_dir "$RUN/snapshots" --feature_dir "$FEATS" \
+    --snapshot_dir "$RUN/snapshots_best" --feature_dir "$FEATS" \
     --bucket_scale 0.7 --vis
 
 python -m rdmnet_tpu.cli.eval --feature_dir "$FEATS" --method lgr --figures
 
 # production path: AOT-export the trained model as a serving artifact and
 # verify the reloaded artifact reproduces the live pipeline bit-for-bit
-python -m rdmnet_tpu.cli.export --snapshot_dir "$RUN/snapshots" \
+python -m rdmnet_tpu.cli.export --snapshot_dir "$RUN/snapshots_best" \
     --out_dir "$WORK/export" --buckets 0.7 --check
 
 echo "demo artifacts under $WORK: run/figures (training curves)," \

@@ -74,15 +74,32 @@ class TestTrainerLoop:
         trainer.run()
         assert trainer.epoch == 1
         assert trainer.snapshots.latest_step() == 1
+        # the val pass produced RR/RRE/RTE, so epoch 1 must be the best
+        assert trainer.best_snapshots.latest_step() == 1
+        best_meta = trainer.best_snapshots.read_metadata()
+        assert best_meta["epoch"] == 1 and "RR" in best_meta
         assert osp.exists(osp.join(out_dir, "metrics.jsonl"))
         lines = open(osp.join(out_dir, "metrics.jsonl")).read().strip().splitlines()
         assert any('"phase": "train"' in l for l in lines)
         assert any('"phase": "val"' in l for l in lines)
 
-        # resume picks up epoch 1 -> run() is a no-op at max_epoch=1
+        # resume picks up epoch 1 -> run() is a no-op at max_epoch=1; the
+        # best score must survive the resume so a worse later epoch cannot
+        # displace the stored best snapshot
         trainer2 = Trainer(cfg, train_loader, val_loader, output_dir=out_dir, log_steps=1)
         trainer2.run(resume=True)
         assert trainer2.epoch == 1
+        assert trainer2._best_score is not None
+        trainer2._maybe_save_best({"RR": 0.0, "RRE": 999.0, "RTE": 999.0})
+        assert trainer2.best_snapshots.read_metadata()["epoch"] == 1
+
+    def test_val_score_ordering(self):
+        s = Trainer._val_score
+        assert s({"IR": 0.5}) is None
+        # higher RR wins; at equal RR lower RRE wins; then lower RTE
+        assert s({"RR": 1.0, "RRE": 5.0, "RTE": 9.0}) > s({"RR": 0.5, "RRE": 0.1, "RTE": 0.1})
+        assert s({"RR": 1.0, "RRE": 0.2, "RTE": 9.0}) > s({"RR": 1.0, "RRE": 0.4, "RTE": 1.0})
+        assert s({"RR": 1.0, "RRE": 0.2, "RTE": 1.0}) > s({"RR": 1.0, "RRE": 0.2, "RTE": 2.0})
 
 
 class TestLrScheduleGradAcc:
