@@ -1,17 +1,28 @@
-"""Synthesize a tiny KITTI-layout dataset from the bundled demo scans.
+"""Synthesize a tiny dataset in any of the four supported layouts from the
+bundled demo scans.
 
-Builds ``--out`` with the exact KITTI schema the framework (and the
-reference, kitti/dataset.py:17-38,106) consumes — ``downsampled_xyzi/%02d/
-%06d.npy`` clouds + ``icp10/%02d`` GT pair files — by applying known rigid
-motions to real demo scans, so an end-to-end `rdmnet-trainval` /
-`rdmnet-test` run needs no external data. With multiple ``--scan`` bases
-(default: the three bundled KITTI scans) each base gets its own train
-sequence (seqs 00..), plus val (06..) and test (08..) sequences built from
-the same geometries under HELD-OUT rigid motions — so test-split metrics
-measure motion generalization, not sample memorization. Splits follow
-data/datasets.py SCHEMAS: train seqs 0-5, val 6-7, test 8-10.
+Builds ``--out`` with the exact on-disk schema the framework (and the
+reference, rdmnet/datasets/registration/*/dataset.py) consumes — GT pair
+files + per-sequence cloud directories, formatted per ``--layout`` from the
+single-source ``rdmnet_tpu.data.datasets.SCHEMAS`` table — by applying known
+rigid motions to real demo scans, so an end-to-end `rdmnet-trainval` /
+`rdmnet-test` run needs no external data.
+
+``--layout kitti`` (default) builds train/val/test splits: with multiple
+``--scan`` bases (default: the three bundled KITTI scans) each base gets its
+own train sequence (seqs 00..), plus val (06..) and test (08..) sequences
+built from the same geometries under HELD-OUT rigid motions — so test-split
+metrics measure motion generalization, not sample memorization.
+
+``--layout kitti360|apollo|mulran`` builds the test split only (those
+datasets are evaluation-only in the reference, README.md:99-108): one test
+sequence per base scan in that schema's exact path/GT format (e.g. MulRan's
+string sequence names and un-padded frame numbers), letting the
+cross-dataset evaluation workflow — including the MulRan vote-off quirk
+(reference test.py:107-108) — run on chip with zero external data.
 
 Usage: python scripts/make_synth_kitti.py --out /tmp/synth_kitti [--frames 7]
+       python scripts/make_synth_kitti.py --out /tmp/synth_mulran --layout mulran
 """
 
 import argparse
@@ -23,6 +34,7 @@ import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+from rdmnet_tpu.data.datasets import SCHEMAS  # noqa: E402
 from rdmnet_tpu.utils.se3_np import euler_zyx_matrix  # noqa: E402
 
 
@@ -33,20 +45,21 @@ def rigid(rng, max_angle_deg=15.0, max_shift=3.0):
     return m
 
 
-def build_seq(root, seq, base, n_frames, rng):
-    cdir = osp.join(root, "downsampled_xyzi", f"{seq:02d}")
-    os.makedirs(cdir, exist_ok=True)
-    os.makedirs(osp.join(root, "icp10"), exist_ok=True)
+def build_seq(root, schema, seq, base, n_frames, rng, intensity=True):
+    gt_path = osp.join(root, schema.gt_file.format(seq=seq))
+    os.makedirs(osp.dirname(gt_path), exist_ok=True)
     mats = []
     for i in range(n_frames):
         m = rigid(rng)
         mats.append(m)
         pts = base[:, :3] @ m[:3, :3].T + m[:3, 3]
         pts = pts + rng.randn(*pts.shape) * 0.01
-        out = np.concatenate(
-            [pts.astype(np.float32), base[:, 3:4].astype(np.float32)], axis=1
-        )
-        np.save(osp.join(cdir, f"{i:06d}.npy"), out)
+        out = pts.astype(np.float32)
+        if intensity:
+            out = np.concatenate([out, base[:, 3:4].astype(np.float32)], axis=1)
+        cloud_path = osp.join(root, schema.cloud_path.format(seq=seq, frame=i))
+        os.makedirs(osp.dirname(cloud_path), exist_ok=True)
+        np.save(cloud_path, out)
     lines = []
     for i in range(n_frames - 1):
         # pair (anc=i+1, pos=i): transform aligning frame i+1 onto frame i
@@ -54,13 +67,26 @@ def build_seq(root, seq, base, n_frames, rng):
         lines.append(
             f"{i + 1} {i} " + " ".join(f"{v:.9f}" for v in tf[:3].reshape(-1))
         )
-    with open(osp.join(root, "icp10", f"{seq:02d}"), "w") as f:
+    with open(gt_path, "w") as f:
         f.write("\n".join(lines))
+
+
+def touch_empty_gt(root, schema, seqs):
+    """Empty GT files for split sequences we did not populate, so
+    make_dataset can iterate the schema's full split lists."""
+    for seq in seqs:
+        path = osp.join(root, schema.gt_file.format(seq=seq))
+        os.makedirs(osp.dirname(path), exist_ok=True)
+        if not osp.exists(path):
+            open(path, "a").close()
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
+    ap.add_argument("--layout", default="kitti", choices=sorted(SCHEMAS),
+                    help="on-disk schema to synthesize; non-kitti layouts "
+                         "are test-split-only (evaluation datasets)")
     ap.add_argument("--frames", type=int, default=7)
     ap.add_argument("--test_frames", type=int, default=3,
                     help="frames per test sequence; pairs = frames-1")
@@ -72,12 +98,12 @@ def main():
             "/root/reference/assets/pc/000007.npy",
         ],
         help="base cloud(s) providing realistic point statistics; each "
-             "gets its own train sequence (and val/test sequences with "
-             "fresh motions, capped at 2 and 3 sequences by the splits)",
+             "gets its own sequence per split (capped by the schema's "
+             "split lists)",
     )
     args = ap.parse_args()
 
-    assert 1 <= len(args.scan) <= 3, "KITTI splits allow at most 3 test seqs"
+    schema = SCHEMAS[args.layout]
     rng = np.random.RandomState(7351)
     bases = []
     for path in args.scan:
@@ -85,25 +111,44 @@ def main():
         if base.shape[1] == 3:
             base = np.concatenate([base, np.zeros((len(base), 1), np.float32)], 1)
         bases.append(base)
+    # MulRan clouds ship without intensity (reference downsample_pcd_mulran)
+    intensity = args.layout != "mulran"
 
-    train_seqs, val_seqs, test_seqs = [], [], []
-    for i, base in enumerate(bases):                 # train split (seqs 0-5)
-        build_seq(args.out, i, base, args.frames, rng)
-        train_seqs.append(i)
-    for i, base in enumerate(bases[:2]):             # val split (seqs 6-7)
-        build_seq(args.out, 6 + i, base, 3, rng)
-        val_seqs.append(6 + i)
-    for i, base in enumerate(bases):                 # test split (seqs 8-10)
-        build_seq(args.out, 8 + i, base, args.test_frames, rng)
-        test_seqs.append(8 + i)
-    for seq in range(11):
-        path = osp.join(args.out, "icp10", f"{seq:02d}")
-        if not osp.exists(path):
-            open(path, "a").close()
-    print(f"synthetic KITTI root at {args.out}: "
-          f"{len(train_seqs) * (args.frames - 1)} train pairs (seqs {train_seqs}), "
-          f"{len(val_seqs) * 2} val pairs (seqs {val_seqs}), "
-          f"{len(test_seqs) * (args.test_frames - 1)} test pairs (seqs {test_seqs})")
+    if args.layout == "kitti":
+        assert 1 <= len(bases) <= 3, "KITTI splits allow at most 3 test seqs"
+        train_seqs, val_seqs, test_seqs = [], [], []
+        for i, base in enumerate(bases):                 # train split (seqs 0-5)
+            build_seq(args.out, schema, i, base, args.frames, rng)
+            train_seqs.append(i)
+        for i, base in enumerate(bases[:2]):             # val split (seqs 6-7)
+            build_seq(args.out, schema, 6 + i, base, 3, rng)
+            val_seqs.append(6 + i)
+        for i, base in enumerate(bases):                 # test split (seqs 8-10)
+            build_seq(args.out, schema, 8 + i, base, args.test_frames, rng)
+            test_seqs.append(8 + i)
+        touch_empty_gt(
+            args.out, schema,
+            [s for s in schema.train_seqs + schema.val_seqs + schema.test_seqs
+             if s not in train_seqs + val_seqs + test_seqs],
+        )
+        print(f"synthetic kitti root at {args.out}: "
+              f"{len(train_seqs) * (args.frames - 1)} train pairs (seqs {train_seqs}), "
+              f"{len(val_seqs) * 2} val pairs (seqs {val_seqs}), "
+              f"{len(test_seqs) * (args.test_frames - 1)} test pairs (seqs {test_seqs})")
+    else:
+        assert len(bases) <= len(schema.test_seqs), (
+            f"{args.layout} has only {len(schema.test_seqs)} test sequences")
+        test_seqs = list(schema.test_seqs[: len(bases)])
+        for seq, base in zip(test_seqs, bases):
+            build_seq(args.out, schema, seq, base, args.test_frames, rng,
+                      intensity=intensity)
+        touch_empty_gt(
+            args.out, schema,
+            [s for s in schema.test_seqs if s not in test_seqs],
+        )
+        print(f"synthetic {args.layout} root at {args.out}: "
+              f"{len(test_seqs) * (args.test_frames - 1)} test pairs "
+              f"(seqs {test_seqs})")
 
 
 if __name__ == "__main__":

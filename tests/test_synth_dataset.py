@@ -96,6 +96,36 @@ def test_eval_loop_dumps_and_metrics(synth_root, tmp_path):
             assert f.readline().strip() == "ply"
 
 
+@pytest.mark.parametrize("layout", ["kitti360", "apollo", "mulran"])
+def test_eval_layout_generator(tmp_path, layout):
+    """--layout synthesizes the evaluation-only schemas (test split only,
+    exact path/GT formats incl. MulRan's string seqs and xyz-only clouds)."""
+    rng = np.random.RandomState(2)
+    scan = tmp_path / "scan.npy"
+    np.save(scan, (rng.rand(1500, 4) * 40).astype(np.float32))
+    root = tmp_path / f"root_{layout}"
+    subprocess.run(
+        [sys.executable, SCRIPT, "--out", str(root), "--layout", layout,
+         "--test_frames", "3", "--scan", str(scan)],
+        check=True,
+    )
+    ds = RegistrationPairDataset(layout, str(root), "test",
+                                 use_augmentation=False)
+    assert len(ds) == 2
+    for i in range(len(ds)):
+        item = ds[i]
+        err = np.abs(
+            apply_transform(item["src_points"], item["transform"])
+            - item["ref_points"]
+        ).max()
+        assert err < 0.12, (layout, i, err)
+    if layout == "mulran":
+        # MulRan clouds ship without intensity; loader reads xyz only
+        seq = ds.metadata[0]["seq_id"]
+        cloud = np.load(str(root / "downsampled_xyzi" / seq / "0.npy"))
+        assert cloud.shape[1] == 3
+
+
 def test_multi_scan_generator(tmp_path):
     """Multiple --scan bases map to one train/test sequence each with
     held-out motions per split."""
