@@ -72,6 +72,15 @@ def main():
              "scans truncate and count in the dropped telemetry)",
     )
     parser.add_argument(
+        "--buckets", default=None,
+        help="comma-separated capacity-bucket factors (e.g. 0.7,1.0): one "
+             "compiled program per bucket, each pair dispatched to the "
+             "smallest bucket that fits — small scans pay small-bucket "
+             "device time, big scans avoid truncation (the eval-side "
+             "counterpart of rdmnet-export --buckets). Overrides "
+             "--bucket_scale",
+    )
+    parser.add_argument(
         "--vis", action="store_true",
         help="per-pair PLY visualization exports under <feature_dir>/vis "
              "(clouds + green/red correspondence lines — the headless "
@@ -101,7 +110,13 @@ def main():
     if args.dataset == "mulran":
         # vote disabled at inference for MulRan (reference test.py:107-108)
         cfg = cfg.replace(vote=dataclasses.replace(cfg.vote, inference_use_vote=False))
-    if args.bucket_scale != 1.0:
+    cfgs = None
+    if args.buckets:
+        # per-pair static-shape bucket dispatch (see run_eval_loop)
+        scales = sorted(float(s) for s in args.buckets.split(","))
+        cfgs = [cfg.replace(pyramid=cfg.pyramid.scaled(s)) for s in scales]
+        cfg = cfgs[-1]
+    elif args.bucket_scale != 1.0:
         # static-shape capacity bucket for the whole run (the same
         # PyramidConfig.scaled bucketing bench.py applies): typical KITTI
         # test scans (~20k points) fit 0.7x caps at ~2/3 the device time.
@@ -127,6 +142,7 @@ def main():
         cfg, model, params, dataset, indices, feature_dir,
         compress=not args.no_compress,
         vis_dir=osp.join(feature_dir, "vis") if args.vis else None,
+        cfgs=cfgs,
     )
     print("== summary ==")
     print(board.format())
@@ -177,18 +193,7 @@ def _export_pair_vis(pair_dir, dumped, vis, transform, acceptance_radius):
                             prefix=f"{side}_")
 
 
-def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
-                  compress=True, log=print, vis_dir=None):
-    """Dump features + metrics for ``indices`` of ``dataset`` (the tester
-    body of reference test.py:19-115). Returns the SummaryBoard.
-
-    Pipelining: the forward for pair i+1 is dispatched BEFORE pair i's
-    host-side fetch/trim (jax dispatch is async), and the compressed npz
-    write (~1 s/pair, the host bottleneck) runs in a small worker pool —
-    two workers keep one write in flight while the next pair trims;
-    bounded in-flight futures cap host memory on long shards."""
-    evaluator = Evaluator(cfg)
-
+def _make_eval_forward(cfg, model, evaluator):
     @jax.jit
     def forward(params, rp, rc, sp, sc, transform):
         # exact f32 matmuls at eval: the TPU default (bf16 products) costs
@@ -205,6 +210,32 @@ def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
         ).astype(jnp.float32)
         return out, metrics
 
+    return forward
+
+
+def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
+                  compress=True, log=print, vis_dir=None, cfgs=None):
+    """Dump features + metrics for ``indices`` of ``dataset`` (the tester
+    body of reference test.py:19-115). Returns the SummaryBoard.
+
+    Pipelining: the forward for pair i+1 is dispatched BEFORE pair i's
+    host-side fetch/trim (jax dispatch is async), and the compressed npz
+    write (~1 s/pair, the host bottleneck) runs in a small worker pool —
+    two workers keep one write in flight while the next pair trims;
+    bounded in-flight futures cap host memory on long shards.
+
+    ``cfgs``: optional list of capacity-bucket variants of ``cfg`` (same
+    model/params, different ``pyramid`` caps). Each pair runs at the
+    smallest bucket that fits both clouds — one compiled program per
+    bucket, masked-pad invariance keeps results identical across buckets
+    (the eval-side counterpart of the multi-bucket serving artifacts)."""
+    from rdmnet_tpu.data.loader import choose_bucket
+
+    evaluator = Evaluator(cfg)
+    cfgs = sorted(cfgs or [cfg], key=lambda c: c.pyramid.caps[0])
+    caps = [c.pyramid.caps[0] for c in cfgs]
+    forwards = [_make_eval_forward(c, model, evaluator) for c in cfgs]
+
     board = SummaryBoard()
     timer = Timer()
     timer.tic()
@@ -213,7 +244,7 @@ def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
     writes = []
 
     def finalize(pending, n_done):
-        out, metrics, item, trunc0 = pending
+        out, metrics, item, trunc0, cap = pending
         # one batched fetch (per-key float() would round-trip per scalar)
         metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
         metrics["dropped"] += trunc0
@@ -239,24 +270,29 @@ def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
         # instead of growing unboundedly over a long shard
         while len(writes) > 4:
             writes.pop(0).result()
+        bucket = f" | cap {cap}" if len(caps) > 1 else ""
         log(
             f"[{n_done}/{len(indices)}] {name} | "
             + ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
             + f" | prep {timer.prepare_time():.3f}s proc {timer.process_time():.3f}s"
+            + bucket
         )
 
     pending = None
     for n_done, i in enumerate(indices):
         item = dataset[i]
-        rp, rc, sp, sc = pad_pair_np(cfg, item["ref_points"], item["src_points"])
+        bi = choose_bucket(
+            max(len(item["ref_points"]), len(item["src_points"])), caps
+        )
+        rp, rc, sp, sc = pad_pair_np(cfgs[bi], item["ref_points"], item["src_points"])
         trunc0 = (max(0, len(item["ref_points"]) - len(rp))
                   + max(0, len(item["src_points"]) - len(sp)))
         timer.record_prepare()
-        out, metrics = forward(params, rp, rc, sp, sc, item["transform"])
+        out, metrics = forwards[bi](params, rp, rc, sp, sc, item["transform"])
         timer.record_process()
         if pending is not None:
             finalize(pending, n_done)
-        pending = (out, metrics, item, trunc0)
+        pending = (out, metrics, item, trunc0, caps[bi])
     if pending is not None:
         finalize(pending, len(indices))
     for w in writes:

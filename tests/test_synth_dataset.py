@@ -96,6 +96,47 @@ def test_eval_loop_dumps_and_metrics(synth_root, tmp_path):
             assert f.readline().strip() == "ply"
 
 
+@pytest.mark.slow
+def test_eval_loop_multi_bucket_dispatch(tmp_path):
+    """run_eval_loop(cfgs=[small, large]): each pair runs at the smallest
+    capacity bucket that fits (one compiled program per bucket), and both
+    bucket paths produce finite metrics and consumable dumps."""
+    from rdmnet_tpu.cli.common import build_model_and_params
+    from rdmnet_tpu.cli.test import run_eval_loop
+    from rdmnet_tpu.config import make_tiny_cfg
+    from rdmnet_tpu.utils.se3_np import euler_zyx_matrix
+
+    cfg = make_tiny_cfg()
+    small = cfg.replace(pyramid=cfg.pyramid.scaled(0.5))
+    model, params = build_model_and_params(cfg)
+
+    rng = np.random.RandomState(3)
+    tf = np.eye(4, dtype=np.float32)
+    tf[:3, :3] = euler_zyx_matrix(0.1, 0.05, -0.04).astype(np.float32)
+    tf[:3, 3] = [0.5, -0.3, 0.2]
+
+    def make_item(n, i):
+        ref = (rng.rand(n, 3) * 20).astype(np.float32)
+        src = ((ref - tf[:3, 3]) @ tf[:3, :3]).astype(np.float32)
+        return {"seq_id": 0, "ref_frame": i, "src_frame": i + 1,
+                "ref_points": ref, "src_points": src, "transform": tf}
+
+    # 200 pts fits the 0.5x bucket (cap 256); 500 pts needs the full 512
+    dataset = [make_item(200, 0), make_item(500, 2)]
+    feature_dir = str(tmp_path / "features")
+    import os
+    os.makedirs(feature_dir)
+    lines = []
+    board = run_eval_loop(
+        cfg, model, params, dataset, [0, 1], feature_dir,
+        compress=False, log=lines.append, cfgs=[small, cfg],
+    )
+    assert "cap 256" in lines[0] and "cap 512" in lines[1], lines
+    assert "RR" in board.format()
+    import glob
+    assert len(glob.glob(osp.join(feature_dir, "*.npz"))) == 2
+
+
 @pytest.mark.parametrize("layout", ["kitti360", "apollo", "mulran"])
 def test_eval_layout_generator(tmp_path, layout):
     """--layout synthesizes the evaluation-only schemas (test split only,
