@@ -93,6 +93,34 @@ class TestTrainerLoop:
         trainer2._maybe_save_best({"RR": 0.0, "RRE": 999.0, "RTE": 999.0})
         assert trainer2.best_snapshots.read_metadata()["epoch"] == 1
 
+    def test_one_epoch_dp2_mesh(self, tiny_kitti, tmp_path):
+        """Full Trainer loop on a dp=2 mesh (virtual CPU devices): sharded
+        batch assembly, replicated params, psum'd grads, validation and
+        snapshots — the integration path over the grad-parity unit test
+        (test_parallel.py)."""
+        import dataclasses
+
+        base = make_tiny_cfg()
+        cfg = base.replace(
+            optim=dataclasses.replace(base.optim, max_epoch=1),
+            parallel=dataclasses.replace(base.parallel, dp=2),
+        )
+        train_ds = RegistrationPairDataset("kitti", tiny_kitti, "train", point_limit=256)
+        val_ds = RegistrationPairDataset("kitti", tiny_kitti, "val", point_limit=256)
+        train_loader = PairLoader(train_ds, cap=cfg.pyramid.caps[0], batch_size=2, prefetch=0)
+        val_loader = PairLoader(val_ds, cap=cfg.pyramid.caps[0], batch_size=2, prefetch=0)
+        out_dir = str(tmp_path / "out_dp2")
+
+        trainer = Trainer(cfg, train_loader, val_loader, output_dir=out_dir, log_steps=1)
+        assert trainer.mesh is not None and trainer.mesh.devices.size == 2
+        trainer.run()
+        assert trainer.epoch == 1
+        assert trainer.snapshots.latest_step() == 1
+        lines = open(osp.join(out_dir, "metrics.jsonl")).read().strip().splitlines()
+        import json
+        train_rec = next(json.loads(l) for l in lines if '"phase": "train"' in l)
+        assert np.isfinite(train_rec["loss"])
+
     def test_val_score_ordering(self):
         s = Trainer._val_score
         assert s({"IR": 0.5}) is None
