@@ -49,6 +49,18 @@ def main():
              "cfg.train.use_augmentation switch, config.py:47)",
     )
     parser.add_argument(
+        "--augmentation_rotation", type=float, default=None,
+        help="rotation-augmentation factor (reference config.py:51 "
+             "semantics: euler angles up to 2*pi/factor; 1.0 = full "
+             "rotations, 12 = up to 30 deg per axis)",
+    )
+    parser.add_argument(
+        "--grad_acc", type=int, default=None,
+        help="gradient-accumulation micro-steps per applied update "
+             "(reference cfg.optim.grad_acc_steps, config.py:82; "
+             "optax.MultiSteps here)",
+    )
+    parser.add_argument(
         "--bucket_scale", type=float, default=1.0,
         help="pyramid capacity-bucket factor for the whole run (same "
              "static-shape bucketing as cli.test; 0.7 fits typical KITTI "
@@ -101,6 +113,12 @@ def main():
         cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, lr=args.lr))
     if args.no_augmentation:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, use_augmentation=False))
+    if args.augmentation_rotation is not None:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, augmentation_rotation=args.augmentation_rotation))
+    if args.grad_acc is not None:
+        cfg = cfg.replace(
+            optim=dataclasses.replace(cfg.optim, grad_acc_steps=args.grad_acc))
     if args.bucket_scale != 1.0:
         cfg = cfg.replace(pyramid=cfg.pyramid.scaled(args.bucket_scale))
     if args.dp is not None:

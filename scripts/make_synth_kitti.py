@@ -90,6 +90,8 @@ def main():
     ap.add_argument("--frames", type=int, default=7)
     ap.add_argument("--test_frames", type=int, default=3,
                     help="frames per test sequence; pairs = frames-1")
+    ap.add_argument("--val_frames", type=int, default=3,
+                    help="frames per val sequence; pairs = frames-1")
     ap.add_argument(
         "--scan", nargs="+",
         default=[
@@ -121,7 +123,7 @@ def main():
             build_seq(args.out, schema, i, base, args.frames, rng)
             train_seqs.append(i)
         for i, base in enumerate(bases[:2]):             # val split (seqs 6-7)
-            build_seq(args.out, schema, 6 + i, base, 3, rng)
+            build_seq(args.out, schema, 6 + i, base, args.val_frames, rng)
             val_seqs.append(6 + i)
         for i, base in enumerate(bases):                 # test split (seqs 8-10)
             build_seq(args.out, schema, 8 + i, base, args.test_frames, rng)
@@ -133,7 +135,7 @@ def main():
         )
         print(f"synthetic kitti root at {args.out}: "
               f"{len(train_seqs) * (args.frames - 1)} train pairs (seqs {train_seqs}), "
-              f"{len(val_seqs) * 2} val pairs (seqs {val_seqs}), "
+              f"{len(val_seqs) * (args.val_frames - 1)} val pairs (seqs {val_seqs}), "
               f"{len(test_seqs) * (args.test_frames - 1)} test pairs (seqs {test_seqs})")
     else:
         assert len(bases) <= len(schema.test_seqs), (
