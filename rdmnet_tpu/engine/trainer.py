@@ -105,6 +105,17 @@ class Trainer:
         )
         self._best_score = None
 
+        # persist the exact run config for reproducibility (the reference
+        # has no equivalent — its config is a global built at import time;
+        # here every CLI override lands in the frozen cfg tree, so one dump
+        # reconstructs the run)
+        if jax.process_index() == 0:
+            import dataclasses
+            import json
+
+            with open(os.path.join(output_dir, "config.json"), "w") as f:
+                json.dump(dataclasses.asdict(cfg), f, indent=1, default=str)
+
         # explicit opt-in: dp=-1 (all devices) or dp>1 builds the mesh;
         # the old device_count>1 check silently built a 1-device mesh and
         # left the other chips idle
