@@ -16,6 +16,46 @@ from rdmnet_tpu.graph.pyramid import build_pair_batch, pad_cloud
 from rdmnet_tpu.models import RDMNet
 
 
+def add_pyramid_overrides(parser) -> None:
+    """Per-dataset static-capacity knobs shared by the train/eval CLIs.
+
+    The values come from ``rdmnet_tpu.cli.preprocess calibrate`` (the
+    reference recalibrates neighbor limits per run, utils/data.py:195-220;
+    band caps are this framework's banded-search capacities, an
+    accuracy-relevant static bound surfaced by the `dropped` telemetry)."""
+    parser.add_argument(
+        "--neighbor_limits", default=None,
+        help="per-level neighbor K, comma ints (from `preprocess "
+             "calibrate`), e.g. 65,63,69,71,81",
+    )
+    parser.add_argument(
+        "--band_caps", default=None,
+        help="per-level banded-search caps, comma ints with 'none' to "
+             "disable banding for a level (from `preprocess calibrate`), "
+             "e.g. 7168,3584,2304,none,none. Undersized bands clip "
+             "neighbors and count in the `dropped` telemetry",
+    )
+
+
+def apply_pyramid_overrides(cfg: Config, args) -> Config:
+    """Apply --neighbor_limits/--band_caps onto cfg.pyramid (before any
+    --bucket_scale scaling, which multiplies both)."""
+    import dataclasses
+
+    pyr = cfg.pyramid
+    if getattr(args, "neighbor_limits", None):
+        limits = tuple(int(v) for v in args.neighbor_limits.split(","))
+        pyr = dataclasses.replace(pyr, neighbor_limits=limits)
+    if getattr(args, "band_caps", None):
+        bands = tuple(
+            None if v.strip().lower() in ("none", "-", "") else int(v)
+            for v in args.band_caps.split(",")
+        )
+        # measured values survive --bucket_scale/--buckets verbatim
+        pyr = dataclasses.replace(pyr, band_caps=bands, band_caps_fixed=True)
+    return cfg.replace(pyramid=pyr) if pyr is not cfg.pyramid else cfg
+
+
 def make_cli_cfg(args) -> Config:
     """Shared CLI config selection (test/infer/export/serve):
 
@@ -47,7 +87,7 @@ def make_cli_cfg(args) -> Config:
         cfg = cfg.replace(
             model=dataclasses.replace(cfg.model, coarse_module=coarse)
         )
-    return cfg
+    return apply_pyramid_overrides(cfg, args)
 
 
 def build_model_and_params(

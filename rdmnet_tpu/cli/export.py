@@ -19,6 +19,8 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
+    from rdmnet_tpu.cli.common import add_pyramid_overrides
+    add_pyramid_overrides(parser)
     parser.add_argument("--out_dir", default="output/export")
     parser.add_argument("--snapshot_dir", default=None)
     parser.add_argument("--test_epoch", type=int, default=None)

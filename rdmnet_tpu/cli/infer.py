@@ -36,6 +36,8 @@ def format_pose_line(ref_frame: int, src_frame: int, est: np.ndarray) -> str:
 
 def main():
     parser = argparse.ArgumentParser()
+    from rdmnet_tpu.cli.common import add_pyramid_overrides
+    add_pyramid_overrides(parser)
     parser.add_argument("--snapshot_dir", default=None)
     parser.add_argument("--test_epoch", type=int, default=None)
     parser.add_argument("--asset_dir", default="/root/reference/assets/pc")

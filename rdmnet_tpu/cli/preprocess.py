@@ -48,6 +48,14 @@ def main():
     args = parser.parse_args()
 
     if args.cmd == "calibrate":
+        # offline host-side utility: eager per-level dispatch over a remote
+        # accelerator pays tunnel latency + one compile per pyramid shape
+        # (measured: 15+ min vs seconds on the host CPU) — force CPU before
+        # any device use (the env var alone is ignored when a TPU plugin is
+        # present, tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         import numpy as np
 
         from rdmnet_tpu.config import make_cfg
@@ -75,7 +83,11 @@ def main():
         bands = calibrate_band_caps(clouds, cfg.pyramid)
         print(f"neighbor_limits = {limits}")
         print(f"band_caps = {bands}")
-        print("(set these in PyramidConfig for this dataset)")
+        limits_flag = ",".join(str(v) for v in limits)
+        bands_flag = ",".join("none" if b is None else str(b) for b in bands)
+        print("pass to rdmnet-trainval / rdmnet-test / rdmnet-infer / "
+              "rdmnet-export:")
+        print(f"  --neighbor_limits {limits_flag} --band_caps {bands_flag}")
         return
     from rdmnet_tpu.data.datasets import SCHEMAS
     from rdmnet_tpu.data.preprocess import downsample_dataset_sequence

@@ -86,6 +86,8 @@ def main():
              "(clouds + green/red correspondence lines — the headless "
              "equivalent of the reference's cfg.test.vis renderings)",
     )
+    from rdmnet_tpu.cli.common import add_pyramid_overrides
+    add_pyramid_overrides(parser)
     parser.add_argument(
         "--no_compress", action="store_true",
         help="write uncompressed .npz feature dumps (compression is the "

@@ -66,6 +66,9 @@ def main():
              "static-shape bucketing as cli.test; 0.7 fits typical KITTI "
              "scans at ~2/3 the device time per step)",
     )
+    from rdmnet_tpu.cli.common import add_pyramid_overrides, apply_pyramid_overrides
+
+    add_pyramid_overrides(parser)
     parser.add_argument(
         "--dp", type=int, default=None,
         help="data-parallel mesh size: N devices, -1 = all, 1 = off (default)",
@@ -106,7 +109,7 @@ def main():
             kwargs["process_id"] = args.process_id
         initialize_distributed(**kwargs)
 
-    cfg = make_cfg()
+    cfg = apply_pyramid_overrides(make_cfg(), args)
     if args.max_epoch is not None:
         cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, max_epoch=args.max_epoch))
     if args.lr is not None:

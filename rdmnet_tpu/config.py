@@ -61,6 +61,11 @@ class PyramidConfig:
     # for 30k-cap scans) with ~30-40% headroom; undersized bands surface in
     # the per-level `dropped` telemetry instead of failing silently.
     band_caps: Tuple[Optional[int], ...] = (7168, 3584, 2304, None, None)
+    # True = band_caps are MEASURED values (preprocess calibrate /
+    # --band_caps): ``scaled()`` keeps them verbatim instead of scaling
+    # them with the bucket — band occupancy depends on the data, not the
+    # capacity bucket, whenever clouds fit the bucket.
+    band_caps_fixed: bool = False
     # Query rows per banded chunk (smaller = tighter bands, more dispatch).
     band_chunk: int = 512
 
@@ -96,11 +101,14 @@ class PyramidConfig:
             max(multiple, -(-int(c * factor) // multiple) * multiple)
             for c in self.caps
         )
-        bands = tuple(
-            None if b is None
-            else max(multiple, -(-int(b * factor) // multiple) * multiple)
-            for b in self.band_caps
-        )
+        if self.band_caps_fixed:
+            bands = self.band_caps
+        else:
+            bands = tuple(
+                None if b is None
+                else max(multiple, -(-int(b * factor) // multiple) * multiple)
+                for b in self.band_caps
+            )
         return _dc.replace(self, caps=caps, band_caps=bands)
 
 

@@ -71,6 +71,36 @@ def build_seq(root, schema, seq, base, n_frames, rng, intensity=True):
         f.write("\n".join(lines))
 
 
+def build_procedural_seq(root, schema, seq, seed, n_frames, rings, azimuths,
+                         step, intensity=True):
+    """One procedurally generated scene per sequence: ray-cast scans from a
+    moving sensor (viewpoint-dependent occlusion), GT pair transforms from
+    the exact sensor poses. Distinct seeds per sequence mean test splits
+    hold out whole SCENES, not just motions."""
+    from rdmnet_tpu.data.procedural import procedural_sequence
+
+    scans, poses = procedural_sequence(
+        seed, n_frames, n_rings=rings, n_azimuths=azimuths, step=step
+    )
+    gt_path = osp.join(root, schema.gt_file.format(seq=seq))
+    os.makedirs(osp.dirname(gt_path), exist_ok=True)
+    for i, scan in enumerate(scans):
+        out = scan if intensity else scan[:, :3]
+        cloud_path = osp.join(root, schema.cloud_path.format(seq=seq, frame=i))
+        os.makedirs(osp.dirname(cloud_path), exist_ok=True)
+        np.save(cloud_path, out)
+    lines = []
+    for i in range(n_frames - 1):
+        # pair (anc=i+1, pos=i): sensor-frame points obey
+        # p_i = inv(T_i) @ T_{i+1} @ p_{i+1}
+        tf = np.linalg.inv(poses[i]) @ poses[i + 1]
+        lines.append(
+            f"{i + 1} {i} " + " ".join(f"{v:.9f}" for v in tf[:3].reshape(-1))
+        )
+    with open(gt_path, "w") as f:
+        f.write("\n".join(lines))
+
+
 def touch_empty_gt(root, schema, seqs):
     """Empty GT files for split sequences we did not populate, so
     make_dataset can iterate the schema's full split lists."""
@@ -93,6 +123,21 @@ def main():
     ap.add_argument("--val_frames", type=int, default=3,
                     help="frames per val sequence; pairs = frames-1")
     ap.add_argument(
+        "--procedural", type=int, default=0, metavar="N",
+        help="instead of transforming the bundled scans, ray-cast N "
+             "procedurally generated scenes (rdmnet_tpu.data.procedural): "
+             "kitti layout assigns train/val/test sequences DISTINCT "
+             "scenes (held-out-scene testing), capped by the schema's "
+             "split lists; other layouts build N test sequences",
+    )
+    ap.add_argument("--rings", type=int, default=44,
+                    help="LiDAR elevation rings for --procedural scans")
+    ap.add_argument("--azimuths", type=int, default=1100,
+                    help="LiDAR azimuth steps for --procedural scans")
+    ap.add_argument("--step", type=float, default=10.0,
+                    help="sensor advance per frame (m) for --procedural "
+                         "(the reference pairs frames >10 m apart)")
+    ap.add_argument(
         "--scan", nargs="+",
         default=[
             "/root/reference/assets/pc/000000.npy",
@@ -107,6 +152,53 @@ def main():
 
     schema = SCHEMAS[args.layout]
     rng = np.random.RandomState(7351)
+
+    if args.procedural:
+        intensity = args.layout != "mulran"
+
+        def build(seq, n_frames):
+            build_procedural_seq(
+                args.out, schema, seq, int(rng.randint(2**31)), n_frames,
+                args.rings, args.azimuths, args.step, intensity=intensity,
+            )
+
+        if args.layout == "kitti":
+            # N train scenes (capped by the schema's 6 train seqs); val and
+            # test get the schema's full split lists — every sequence is a
+            # DISTINCT scene, so test metrics measure scene generalization
+            train_seqs = list(schema.train_seqs[: min(args.procedural,
+                                                      len(schema.train_seqs))])
+            val_seqs, test_seqs = list(schema.val_seqs), list(schema.test_seqs)
+            for seq in train_seqs:
+                build(seq, args.frames)
+            for seq in val_seqs:
+                build(seq, args.val_frames)
+            for seq in test_seqs:
+                build(seq, args.test_frames)
+            touch_empty_gt(
+                args.out, schema,
+                [s for s in schema.train_seqs if s not in train_seqs],
+            )
+            print(f"procedural kitti root at {args.out}: "
+                  f"{len(train_seqs) * (args.frames - 1)} train pairs "
+                  f"(seqs {train_seqs}), "
+                  f"{len(val_seqs) * (args.val_frames - 1)} val pairs, "
+                  f"{len(test_seqs) * (args.test_frames - 1)} test pairs "
+                  f"— all sequences distinct scenes")
+        else:
+            test_seqs = list(schema.test_seqs[: min(args.procedural,
+                                                    len(schema.test_seqs))])
+            for seq in test_seqs:
+                build(seq, args.test_frames)
+            touch_empty_gt(
+                args.out, schema,
+                [s for s in schema.test_seqs if s not in test_seqs],
+            )
+            print(f"procedural {args.layout} root at {args.out}: "
+                  f"{len(test_seqs) * (args.test_frames - 1)} test pairs "
+                  f"(seqs {test_seqs})")
+        return
+
     bases = []
     for path in args.scan:
         base = np.load(path).astype(np.float32)

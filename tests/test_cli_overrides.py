@@ -1,0 +1,37 @@
+"""--neighbor_limits/--band_caps CLI overrides (cli/common.py): the
+`preprocess calibrate` output must be directly usable on the train/eval
+CLIs without editing PyramidConfig."""
+
+import argparse
+
+from rdmnet_tpu.cli.common import add_pyramid_overrides, apply_pyramid_overrides
+from rdmnet_tpu.config import make_cfg
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser()
+    add_pyramid_overrides(p)
+    return p.parse_args(argv)
+
+
+def test_defaults_are_untouched():
+    cfg = make_cfg()
+    out = apply_pyramid_overrides(cfg, _parse([]))
+    assert out.pyramid is cfg.pyramid
+
+
+def test_overrides_apply_and_scale():
+    cfg = make_cfg()
+    args = _parse(["--neighbor_limits", "65,63,69,71,81",
+                   "--band_caps", "8192,4096,none,none,none"])
+    out = apply_pyramid_overrides(cfg, args)
+    assert out.pyramid.neighbor_limits == (65, 63, 69, 71, 81)
+    assert out.pyramid.band_caps == (8192, 4096, None, None, None)
+    # measured band caps survive bucket scaling verbatim (band occupancy
+    # depends on the data, not the bucket, whenever clouds fit)
+    scaled = out.pyramid.scaled(0.5)
+    assert scaled.band_caps == (8192, 4096, None, None, None)
+    assert scaled.caps[0] < out.pyramid.caps[0]
+    # default (uncalibrated) band caps still scale with the bucket
+    dflt = make_cfg().pyramid
+    assert dflt.scaled(0.5).band_caps[0] < dflt.band_caps[0]
