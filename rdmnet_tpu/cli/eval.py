@@ -51,6 +51,19 @@ def procrustes_np(src, ref, weights=None):
     return tf
 
 
+def ransac_device(src, ref, weights, num_iterations=5000, num_samples=4,
+                  threshold=0.3, seed=0):
+    """Device-native RANSAC (ops/ransac.py): every hypothesis solved and
+    scored in parallel — the TPU replacement for the reference's C++ o3d
+    RANSAC (eval.py:177-195). Same interface as ransac_np."""
+    from rdmnet_tpu.ops.ransac import ransac_registration_host
+
+    return ransac_registration_host(
+        src, ref, weights, num_iterations=num_iterations,
+        num_samples=num_samples, threshold=threshold, seed=seed,
+    )
+
+
 def ransac_np(src, ref, weights, num_iterations=5000, num_samples=4, threshold=0.3, seed=0):
     rng = np.random.RandomState(seed)
     n = len(src)
@@ -110,6 +123,11 @@ def main():
     )
     parser.add_argument("--num_corr", type=int, default=None)
     parser.add_argument("--ransac_iterations", type=int, default=50000)
+    parser.add_argument(
+        "--ransac_impl", default="device", choices=["device", "numpy"],
+        help="device = parallel-hypothesis solver on the jax backend "
+             "(ops/ransac.py); numpy = sequential host loop (ransac_np)",
+    )
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument(
         "--figures", action="store_true",
@@ -119,6 +137,7 @@ def main():
     args = parser.parse_args()
 
     cfg = make_cfg()
+    ransac_fn = ransac_device if args.ransac_impl == "device" else ransac_np
     coarse_meter = SummaryBoard()
     fine_meter = SummaryBoard()
     reg_meter = SummaryBoard()
@@ -186,7 +205,7 @@ def main():
             mutual = s2r[r2s] == np.arange(len(rf))
             ref_m = d["ref_points_c"][mutual]
             src_m = d["src_points_c"][r2s[mutual]]
-            est = ransac_np(
+            est = ransac_fn(
                 src_m, ref_m, np.ones(len(ref_m)),
                 num_iterations=args.ransac_iterations,
                 num_samples=cfg.ransac.num_points,
@@ -195,7 +214,7 @@ def main():
         elif args.method == "teaser":
             est = teaser_np(src_corr, ref_corr)
         else:
-            est = ransac_np(
+            est = ransac_fn(
                 src_corr, ref_corr, corr_scores,
                 num_iterations=args.ransac_iterations,
                 num_samples=cfg.ransac.num_points,

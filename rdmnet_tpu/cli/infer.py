@@ -80,13 +80,14 @@ def main():
 
         # RANSAC re-solve of the predicted correspondences, stored alongside
         # the LGR pose (reference infer.py:75-82 does this with o3d RANSAC).
-        # Pure-numpy and host-bound — pass --ransac_iterations 0 to skip
+        # Runs the parallel-hypothesis device solver (ops/ransac.py) on the
+        # already-live jax backend — pass --ransac_iterations 0 to skip
         # when only the LGR pose is needed.
         if args.ransac_iterations > 0:
-            from rdmnet_tpu.cli.eval import ransac_np
+            from rdmnet_tpu.cli.eval import ransac_device
 
             cfg_r = cfg.ransac
-            dumped["ransac_transform"] = ransac_np(
+            dumped["ransac_transform"] = ransac_device(
                 dumped["src_corr_points"], dumped["ref_corr_points"],
                 dumped["corr_scores"], num_iterations=args.ransac_iterations,
                 num_samples=cfg_r.num_points, threshold=cfg_r.distance_threshold,

@@ -17,4 +17,8 @@ from rdmnet_tpu.ops.partition import (  # noqa: F401
     point_to_node_partition,
 )
 from rdmnet_tpu.ops.procrustes import weighted_procrustes  # noqa: F401
+from rdmnet_tpu.ops.ransac import (  # noqa: F401
+    ransac_registration,
+    ransac_registration_host,
+)
 from rdmnet_tpu.ops.nms import greedy_nms  # noqa: F401
