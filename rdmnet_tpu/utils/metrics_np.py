@@ -179,3 +179,101 @@ def evaluate_sparse_correspondences(
         "recall": float(recall),
         "hit_ratio": float(0.5 * (ref_hit + src_hit)),
     }
+
+
+def compute_relative_translation_error(gt_translation, est_translation) -> float:
+    """Isotropic RTE = ||t - t_est|| (reference registration.py:76-89)."""
+    return float(np.linalg.norm(np.asarray(gt_translation) - np.asarray(est_translation)))
+
+
+def compute_registration_rmse(src_points, gt_transform, est_transform) -> float:
+    """Re-alignment error (Rotated-3DMatch-style approximated RMSE,
+    reference registration.py:136-152): mean distance between src points
+    under the GT vs estimated transform."""
+    gt_points = apply_transform(src_points, gt_transform)
+    est_points = apply_transform(src_points, est_transform)
+    return float(np.linalg.norm(gt_points - est_points, axis=1).mean())
+
+
+def get_correspondences(ref_points, src_points, transform=None, matching_radius=None):
+    """(C, 2) GT correspondence indices: all (i, j) pairs within
+    matching_radius after aligning src (reference registration.py:203-216).
+
+    scipy-free chunked implementation of the reference's cKDTree ball query
+    (this is the host/offline twin; the training path uses the on-device
+    ops.correspondences.radius_correspondence_masks instead).
+    """
+    if matching_radius is None:
+        raise ValueError("matching_radius is required")
+    if transform is not None:
+        src_points = apply_transform(src_points, transform)
+    r2 = matching_radius * matching_radius
+    out = []
+    step = max(1, int(2**22 // max(len(src_points), 1)))
+    for start in range(0, len(ref_points), step):
+        tile = ref_points[start:start + step]
+        d2 = ((tile[:, None, :] - src_points[None, :, :]) ** 2).sum(-1)
+        ii, jj = np.nonzero(d2 < r2)
+        out.append(np.stack([ii + start, jj], axis=1))
+    if not out:
+        return np.zeros((0, 2), np.int64)
+    return np.concatenate(out, axis=0).astype(np.int64)
+
+
+def evaluate_overlap(
+    ref_n2p_scores_c,
+    src_n2p_scores_c,
+    ref_points_f,
+    src_points_f,
+    ref_node,
+    src_node,
+    transform,
+    n2p_overlap_thres,
+) -> Dict:
+    """Mean/std of predicted node-to-point overlap scores split by the GT
+    label (node within n2p_overlap_thres of the other cloud's fine points) —
+    reference registration.py:283-336 (its live n2p branch; the n2n branch
+    there is commented out, and the dead score args are dropped here)."""
+    src_node = apply_transform(src_node, transform)
+    src_points_f = apply_transform(src_points_f, transform)
+    ref_min = _chunked_nn_dists(ref_node, src_points_f)
+    src_min = _chunked_nn_dists(src_node, ref_points_f)
+    ref_mask = np.sqrt(ref_min) < n2p_overlap_thres
+    src_mask = np.sqrt(src_min) < n2p_overlap_thres
+    return {
+        "n2p_p_mean": float((ref_n2p_scores_c[ref_mask].mean()
+                             + src_n2p_scores_c[src_mask].mean()) / 2),
+        "n2p_n_mean": float((ref_n2p_scores_c[~ref_mask].mean()
+                             + src_n2p_scores_c[~src_mask].mean()) / 2),
+        "n2p_p_std": float((ref_n2p_scores_c[ref_mask].std()
+                            + src_n2p_scores_c[src_mask].std()) / 2),
+        "n2p_n_std": float((ref_n2p_scores_c[~ref_mask].std()
+                            + src_n2p_scores_c[~src_mask].std()) / 2),
+    }
+
+
+def evaluate_node_overlap(
+    num_ref, num_src, ref_corr_indices, src_corr_indices, gt_corr_indices, gt_corr_overlap
+):
+    """Overlap statistics of predicted node correspondences vs GT overlaps
+    (reference registration.py:338-359): mean GT overlap at predicted pairs,
+    mean GT overlap, mean at true-positive pairs, and the mean best-per-node
+    GT overlap."""
+    gt_mat = np.zeros((num_ref, num_src))
+    gt_mat[gt_corr_indices[:, 0], gt_corr_indices[:, 1]] = 1.0
+    pred_mat = np.zeros_like(gt_mat)
+    pred_mat[ref_corr_indices, src_corr_indices] = 1.0
+    overlap_mat = np.zeros_like(gt_mat)
+    overlap_mat[gt_corr_indices[:, 0], gt_corr_indices[:, 1]] = gt_corr_overlap
+    row_best = overlap_mat.max(0)
+    col_best = overlap_mat.max(1)
+    gt_max_overlap = (row_best[row_best > 0].mean() + col_best[col_best > 0].mean()) / 2
+    pred_overlap = overlap_mat[ref_corr_indices, src_corr_indices].mean()
+    gt_overlap = gt_corr_overlap.mean()
+    pred_true_overlap = overlap_mat[gt_mat * pred_mat > 0].mean()
+    return (
+        float(pred_overlap),
+        float(gt_overlap),
+        float(pred_true_overlap),
+        float(gt_max_overlap),
+    )

@@ -64,3 +64,52 @@ class TestPoseLineFormat:
         np.testing.assert_allclose(
             np.array(parts[2:], np.float64), est[:3].reshape(-1), atol=1e-6
         )
+
+
+def test_get_correspondences_and_rmse_helpers():
+    from rdmnet_tpu.utils import metrics_np as M
+
+    rng = np.random.RandomState(11)
+    ref = rng.rand(60, 3) * 2
+    src = ref.copy()
+    t = np.eye(4)
+    t[:3, 3] = [0.05, 0.0, 0.0]
+    # src = T^-1(ref) so aligning with T recovers identity pairs
+    src_moved = M.apply_transform(src, np.linalg.inv(t))
+    corr = M.get_correspondences(ref, src_moved, transform=t, matching_radius=1e-3)
+    assert {(i, i) for i in range(60)} <= set(map(tuple, corr.tolist()))
+    assert M.compute_registration_rmse(src, t, t) == 0.0
+    assert M.compute_relative_translation_error([1, 2, 2], [1, 2, 2]) == 0.0
+
+
+def test_evaluate_overlap_separates_labels():
+    from rdmnet_tpu.utils import metrics_np as M
+
+    rng = np.random.RandomState(12)
+    ref_f = rng.rand(50, 3)
+    src_f = rng.rand(50, 3)
+    # nodes: first two on the other cloud's points (overlapping), last two far
+    ref_node = np.concatenate([src_f[:2], np.full((2, 3), 50.0)])
+    src_node = np.concatenate([ref_f[:2], np.full((2, 3), -50.0)])
+    ref_scores = np.array([0.9, 0.8, 0.1, 0.2])
+    src_scores = np.array([0.7, 0.9, 0.3, 0.1])
+    out = M.evaluate_overlap(
+        ref_scores, src_scores, ref_f, src_f, ref_node, src_node,
+        np.eye(4), n2p_overlap_thres=0.5)
+    assert out["n2p_p_mean"] > out["n2p_n_mean"]
+    assert set(out) == {"n2p_p_mean", "n2p_n_mean", "n2p_p_std", "n2p_n_std"}
+
+
+def test_evaluate_node_overlap_oracle():
+    from rdmnet_tpu.utils import metrics_np as M
+
+    gt = np.array([[0, 0], [1, 1], [2, 2]])
+    ov = np.array([0.5, 0.7, 0.9])
+    pred_r = np.array([0, 1, 3])
+    pred_s = np.array([0, 1, 0])
+    pred_ov, gt_ov, true_ov, gt_max = M.evaluate_node_overlap(
+        4, 3, pred_r, pred_s, gt, ov)
+    assert pred_ov == pytest.approx((0.5 + 0.7 + 0.0) / 3)
+    assert gt_ov == pytest.approx(ov.mean())
+    assert true_ov == pytest.approx(0.6)  # pairs (0,0) and (1,1)
+    assert gt_max == pytest.approx(0.7)  # mean over nonzero row/col maxima
