@@ -22,3 +22,18 @@ from rdmnet_tpu.ops.ransac import (  # noqa: F401
     ransac_registration_host,
 )
 from rdmnet_tpu.ops.nms import greedy_nms  # noqa: F401
+from rdmnet_tpu.ops.correspondences import (  # noqa: F401
+    correspondence_masks_from_feats,
+    correspondence_masks_from_scores,
+    correspondence_masks_threshold,
+    dense_to_node_correspondences,
+    mutual_nearest_node_masks,
+    nearest_node_assignment,
+    node_correspondence_overlaps,
+    node_occlusion_ratios,
+    node_overlap_ratios,
+    node_pair_overlaps,
+    node_to_dense_correspondences,
+    radius_correspondence_masks,
+    top_k_correspondences,
+)
