@@ -96,10 +96,16 @@ def build_norm_layer(num_features: int, norm_cfg: Optional[LayerCfg]) -> Optiona
     if name == "LayerNorm":
         return nn.LayerNorm(**kwargs)
     if name.startswith("BatchNorm"):
+        # torch momentum=0.1 means new_stat = 0.9*old + 0.1*batch; flax's
+        # `momentum` IS that decay factor (0.99 default) — map torch's default
+        kwargs.setdefault("momentum", 0.9)
         return nn.BatchNorm(**kwargs)
     if name.startswith("InstanceNorm"):
         # instance norm == group norm with one group per channel, stats over
-        # the spatial axes of each sample
+        # the spatial axes of each sample; torch InstanceNorm defaults to
+        # affine=False, so no learnable scale/bias unless the cfg asks
+        kwargs.setdefault("use_scale", False)
+        kwargs.setdefault("use_bias", False)
         return nn.GroupNorm(num_groups=num_features, **kwargs)
     raise ValueError(f"illegal normalization: {name}")
 

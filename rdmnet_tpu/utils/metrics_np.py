@@ -213,7 +213,8 @@ def get_correspondences(ref_points, src_points, transform=None, matching_radius=
     for start in range(0, len(ref_points), step):
         tile = ref_points[start:start + step]
         d2 = ((tile[:, None, :] - src_points[None, :, :]) ** 2).sum(-1)
-        ii, jj = np.nonzero(d2 < r2)
+        # inclusive <=: cKDTree.query_ball_point counts points ON the radius
+        ii, jj = np.nonzero(d2 <= r2)
         out.append(np.stack([ii + start, jj], axis=1))
     if not out:
         return np.zeros((0, 2), np.int64)
@@ -238,8 +239,8 @@ def evaluate_overlap(
     src_points_f = apply_transform(src_points_f, transform)
     ref_min = _chunked_nn_dists(ref_node, src_points_f)
     src_min = _chunked_nn_dists(src_node, ref_points_f)
-    ref_mask = np.sqrt(ref_min) < n2p_overlap_thres
-    src_mask = np.sqrt(src_min) < n2p_overlap_thres
+    ref_mask = ref_min < n2p_overlap_thres
+    src_mask = src_min < n2p_overlap_thres
     return {
         "n2p_p_mean": float((ref_n2p_scores_c[ref_mask].mean()
                              + src_n2p_scores_c[src_mask].mean()) / 2),

@@ -100,6 +100,25 @@ def test_evaluate_overlap_separates_labels():
     assert set(out) == {"n2p_p_mean", "n2p_n_mean", "n2p_p_std", "n2p_n_std"}
 
 
+def test_evaluate_overlap_threshold_is_euclidean():
+    # regression: a node at distance d with thres^2 < d < thres MUST be
+    # labeled positive (an extra sqrt on the already-euclidean NN distance
+    # would test d < thres^2 instead)
+    from rdmnet_tpu.utils import metrics_np as M
+
+    thres = 0.5  # node at 0.4: 0.25 < 0.4 < 0.5 -> positive
+    ref_f = np.zeros((1, 3))
+    src_f = np.zeros((1, 3))
+    ref_node = np.array([[0.4, 0.0, 0.0], [10.0, 0.0, 0.0]])
+    src_node = np.array([[0.4, 0.0, 0.0], [10.0, 0.0, 0.0]])
+    scores = np.array([1.0, 0.0])
+    out = M.evaluate_overlap(
+        scores, scores, ref_f, src_f, ref_node, src_node,
+        np.eye(4), n2p_overlap_thres=thres)
+    assert out["n2p_p_mean"] == pytest.approx(1.0)
+    assert out["n2p_n_mean"] == pytest.approx(0.0)
+
+
 def test_evaluate_node_overlap_oracle():
     from rdmnet_tpu.utils import metrics_np as M
 
