@@ -1,19 +1,28 @@
 """Benchmark: registered pairs/sec for the full inference pipeline on one chip.
 
-Measures the steady-state throughput of the complete RDMNet pipeline — the
-ENTIRE job runs on device in one jitted program: pyramid/graph construction
-(which the reference does on CPU in DataLoader workers), KPConv backbone,
-two transformer stages, vote+NMS, Sinkhorn OT, and local-to-global
-registration with SVD — over the bundled KITTI demo pair at full (KITTI
-training) static capacities.
+Two numbers are measured over the bundled KITTI demo pair at production
+capacity buckets; the ENTIRE job runs on device in one jitted program:
+pyramid/graph construction (which the reference does on CPU in DataLoader
+workers), KPConv backbone, two transformer stages, vote+NMS, Sinkhorn OT,
+and local-to-global registration with SVD.
 
-Baseline: the reference publishes no throughput numbers. The 2.0 pairs/s
-denominator is measurement-anchored (BASELINE.md "Measured reference
-per-pair cost"): the reference's own C++ collate measured at 1.35 s/pair
-per CPU core on this image (scripts/measure_reference_baseline.py), so an
-8-worker rig caps at 5.9 pairs/s even with a free GPU forward; adding a
-literature-class 0.1-0.3 s GPU forward gives 2-4 pairs/s end-to-end. We
-use the favorable-to-the-reference value 2.0; vs_baseline = ours / 2.0.
+1. **Sustained throughput** (the headline `value`): many INDEPENDENT pairs
+   in flight — each dispatch carries a distinct input and nothing chains on
+   a previous output, so dispatch/transfer overlaps device compute exactly
+   like a production serving loop (cli/test.py pipelines the same way, as
+   does the reference's multi-worker collate pipeline,
+   geotransformer/utils/data.py:139-188).
+2. **Single-pair latency**: each iteration's input chained on the previous
+   output — no overlap possible; 1/latency is the serialized rate.
+
+Baseline: the reference publishes no throughput numbers, so BASELINE.md
+derives a measured band: its own C++ collate costs 1.35 s/pair/core on this
+image (scripts/measure_reference_baseline.py), capping an 8-worker rig at
+5.9 pairs/s even with a free GPU forward; adding a literature-class
+0.1-0.3 s GPU forward gives the 2-4 pairs/s end-to-end band. `vs_baseline`
+uses the band's LOW end (2.0 pairs/s — the value FAVORABLE TO THIS REPO;
+the conservative end favors the reference), and `vs_baseline_conservative`
+reports against the 4.0 pairs/s high end so both readings are on record.
 
 Prints exactly one JSON line.
 """
@@ -23,7 +32,8 @@ import time
 
 import numpy as np
 
-ASSUMED_REFERENCE_PAIRS_PER_SEC = 2.0
+REFERENCE_BAND_LOW_PAIRS_PER_SEC = 2.0   # favorable to this repo
+REFERENCE_BAND_HIGH_PAIRS_PER_SEC = 4.0  # conservative (favors the reference)
 
 
 def main():
@@ -68,34 +78,53 @@ def main():
     params = init(jax.random.PRNGKey(0))
     # Measurement notes for this remote-device (tunnel) environment:
     # * block_until_ready does not reliably synchronize -> every timing
-    #   chains each iteration's input on the previous output and ends with
-    #   a host fetch (the only trustworthy barrier);
+    #   ends with a host fetch (the only trustworthy barrier);
     # * the FIRST post-compile execution loop runs ~20x slower than steady
-    #   state (executable warm-up) -> run the loop twice, report the second.
+    #   state (executable warm-up) -> run each loop twice, report the second.
     tf, _ = pipeline(params, rp, rc, sp, sc)
     _ = np.asarray(tf)
 
-    iters = 20
-    dt = None
+    # --- sustained throughput: independent pairs, dispatch overlapped ------
+    # every dispatch gets a DISTINCT input (per-iteration jitter staged on
+    # device up front) so no client/runtime layer can dedupe or cache calls
+    iters = 40
+    variants = [rp + jnp.float32(1e-6) * (i + 1) for i in range(iters)]
+    _ = np.asarray(variants[-1][0, 0])  # stage jitter before the clock starts
+    thr_dt = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = [pipeline(params, variants[i], rc, sp, sc)[0] for i in range(iters)]
+        _ = jax.device_get(outs)  # one batched fetch = completion barrier
+        thr_dt = (time.perf_counter() - t0) / iters
+    pairs_per_sec = 1.0 / thr_dt
+
+    # --- single-pair latency: chained dependency, no overlap ---------------
+    lat_iters = 20
+    lat_dt = None
     for _ in range(2):
         t0 = time.perf_counter()
         cur_rp = rp
-        for _ in range(iters):
+        for _ in range(lat_iters):
             tf, scores = pipeline(params, cur_rp, rc, sp, sc)
-            # data dependency: next input depends on this output (defeats
-            # any client-side caching/reordering)
+            # data dependency serializes: next input depends on this output
             cur_rp = cur_rp + 0.0 * tf[0, 0]
         _ = np.asarray(tf)
-        dt = (time.perf_counter() - t0) / iters
+        lat_dt = (time.perf_counter() - t0) / lat_iters
 
-    pairs_per_sec = 1.0 / dt
     print(
         json.dumps(
             {
                 "metric": "registered_pairs_per_sec_per_chip",
                 "value": round(pairs_per_sec, 4),
                 "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / ASSUMED_REFERENCE_PAIRS_PER_SEC, 4),
+                "vs_baseline": round(
+                    pairs_per_sec / REFERENCE_BAND_LOW_PAIRS_PER_SEC, 4
+                ),
+                "vs_baseline_conservative": round(
+                    pairs_per_sec / REFERENCE_BAND_HIGH_PAIRS_PER_SEC, 4
+                ),
+                "latency_ms": round(lat_dt * 1e3, 2),
+                "serialized_pairs_per_sec": round(1.0 / lat_dt, 4),
             }
         )
     )

@@ -35,6 +35,18 @@ def add_pyramid_overrides(parser) -> None:
              "e.g. 7168,3584,2304,none,none. Undersized bands clip "
              "neighbors and count in the `dropped` telemetry",
     )
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force the jax backend (the JAX_PLATFORMS env var is NOT "
+             "honored when a TPU plugin is installed; this applies the "
+             "config update before first device use). cpu = debug/CI runs "
+             "without touching the chip",
+    )
+    parser.add_argument(
+        "--cfg_preset", default=None, choices=["tiny"],
+        help="config preset override: 'tiny' = config.make_tiny_cfg() "
+             "(miniature capacities; CI smoke / plumbing runs only)",
+    )
 
 
 def apply_pyramid_overrides(cfg: Config, args) -> Config:
@@ -70,11 +82,21 @@ def make_cli_cfg(args) -> Config:
     """
     import dataclasses
 
+    if getattr(args, "platform", None):
+        # must land before first device use; the env-var spelling is
+        # ignored when a TPU plugin is installed
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     parity = getattr(args, "parity_cfg", False) or (
         getattr(args, "torch_checkpoint", None)
         and not getattr(args, "no_parity_cfg", False)
     )
-    if parity:
+    if getattr(args, "cfg_preset", None) == "tiny":
+        from rdmnet_tpu.config import make_tiny_cfg
+
+        cfg = make_tiny_cfg()
+    elif parity:
         from rdmnet_tpu.config import make_parity_cfg
 
         cfg = make_parity_cfg()

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shlex
 import subprocess
 import sys
 
@@ -32,6 +33,15 @@ def main():
     parser.add_argument(
         "--worker_env", nargs="*", default=[],
         help="extra KEY=VALUE env per worker; '{shard}' expands to its id",
+    )
+    parser.add_argument(
+        "--worker_args", default="",
+        help="extra cli.test flags appended to every worker, one shell-"
+             "quoted string (e.g. '--bucket_scale 0.7 --no_compress')",
+    )
+    parser.add_argument(
+        "--eval_args", default="",
+        help="extra cli.eval flags appended to every eval run",
     )
     args = parser.parse_args()
 
@@ -54,7 +64,7 @@ def main():
                     "--feature_dir", feature_dir,
                     "--num_shards", str(args.num_workers),
                     "--shard_id", str(shard),
-                ],
+                ] + shlex.split(args.worker_args),
                 env=env,
             ))
         # wait for ALL workers before judging: raising on the first failure
@@ -71,7 +81,7 @@ def main():
                 [
                     sys.executable, "-m", "rdmnet_tpu.cli.eval",
                     "--feature_dir", feature_dir, "--method", method,
-                ],
+                ] + shlex.split(args.eval_args),
                 check=True,
             )
 
