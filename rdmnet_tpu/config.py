@@ -201,6 +201,12 @@ class VoteConfig:
     max_translate_range: Tuple[float, float, float] = (3.0, 3.0, 3.0)
     mlps: Tuple[int, ...] = (512, 256)
     nms_radius: float = 2.4
+    # None = exact full-radius NMS adjacency (default; arguably more correct).
+    # An int replicates the reference's adjacency truncation to the last
+    # calibrated neighbor limit (vote.py:24-31) — set by make_parity_cfg for
+    # strict parity with converted checkpoints; differs from exact only in
+    # clusters denser than the limit (ops/nms.py).
+    nms_neighbor_limit: Optional[int] = None
     n2n_overlap_threshold: float = 1.2
     n2p_overlap_threshold: float = 0.6
     p2p_overlap_threshold: float = 0.6
@@ -440,6 +446,9 @@ def make_parity_cfg(**overrides) -> Config:
             approx_recall=None,
         ),
         backbone=dataclasses.replace(cfg.backbone, shared_influence=False),
+        # reference NMS sees its adjacency truncated to the LAST calibrated
+        # neighbor limit (vote.py:11,24-31)
+        vote=dataclasses.replace(cfg.vote, nms_neighbor_limit=81),
     )
 
 

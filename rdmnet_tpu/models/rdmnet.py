@@ -186,9 +186,12 @@ class RDMNet(nn.Module):
             out["src_n2n_scores_c"] = jax.nn.sigmoid(n2n_logits[1])
 
         if use_vote:
-            keep_pair = jax.vmap(greedy_nms, in_axes=(0, 0, None))(
-                shifted_pair, mask_pair, cfg.vote.nms_radius
-            )
+            keep_pair = jax.vmap(
+                lambda n, m: greedy_nms(
+                    n, m, cfg.vote.nms_radius,
+                    neighbor_limit=cfg.vote.nms_neighbor_limit,
+                )
+            )(shifted_pair, mask_pair)
             node_valid = mask_pair & keep_pair          # (2, cap_c)
             nodes_pair = shifted_pair
 

@@ -10,6 +10,8 @@ cheap (M,)-vector steps — M is the coarse node count (~hundreds).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +22,7 @@ def greedy_nms(
     nodes: jnp.ndarray,
     nodes_mask: jnp.ndarray,
     radius: float,
+    neighbor_limit: Optional[int] = None,
 ) -> jnp.ndarray:
     """Greedy keep-if-no-kept-neighbor suppression.
 
@@ -27,17 +30,23 @@ def greedy_nms(
       nodes: (M, 3) padded node positions.
       nodes_mask: (M,) bool validity.
       radius: suppression radius.
+      neighbor_limit: None (default) = exact full-radius adjacency. An int
+        replicates the reference's TRUNCATED adjacency for strict parity:
+        its NMS sees neighbors through radius_search capped at the last
+        calibrated neighbor limit (vote.py:24-31, sorted by distance, SELF
+        INCLUDED as the distance-0 entry) — a node whose within-radius
+        cluster exceeds the limit does not see its farthest neighbors, so
+        it can escape suppression that the exact adjacency applies.
 
     Returns:
       keep: (M,) bool — True for surviving valid nodes. Matches the
       reference's sequential greedy semantics (vote.py:36-39) including
-      order dependence, over the FULL radius adjacency. Known divergence:
-      the reference sees its adjacency through radius_search, which truncates
-      each node to the calibrated neighbor limit — a node in a cluster
-      denser than that limit can escape suppression there while this exact
-      adjacency suppresses it. The golden end-to-end test observes identical
-      survivor sets on real scans; the difference can only appear in
-      clusters exceeding the reference's neighbor limit.
+      order dependence. With the default exact adjacency the result can
+      diverge from the reference ONLY in clusters denser than its neighbor
+      limit (tests/test_ops_core.py pins an engineered divergent cluster;
+      the golden end-to-end run observes identical survivor sets on real
+      scans); pass ``neighbor_limit`` (config.make_parity_cfg does) to
+      reproduce the truncated behavior exactly.
     """
     m = nodes.shape[0]
     sq = pairwise_sq_dist(nodes, nodes)
@@ -46,10 +55,21 @@ def greedy_nms(
     # node pair at exactly the NMS radius must NOT suppress
     adj = sq < radius * radius
     adj = adj & nodes_mask[None, :] & nodes_mask[:, None]
+    if neighbor_limit is not None:
+        # rank each row's admitted entries by distance (stable sort = index
+        # tiebreak, like the reference's sorted radius_search results) and
+        # keep the `neighbor_limit` nearest. The self entry (distance 0) is
+        # rank 0 and OCCUPIES one slot, exactly as in the reference's lists.
+        dmat = jnp.where(adj | jnp.eye(m, dtype=bool), jnp.sqrt(sq), jnp.inf)
+        rank = jnp.argsort(jnp.argsort(dmat, axis=1, stable=True), axis=1)
+        adj = adj & (rank < neighbor_limit)
     # self-adjacency is irrelevant: a node never blocks itself
     adj = adj & ~jnp.eye(m, dtype=bool)
-    adj_f = adj.astype(jnp.float32)
-    # adjacency restricted to earlier-indexed neighbors (strict lower triangle)
+    # suppression flows only from EARLIER-indexed kept nodes (the reference
+    # sets masks in index order, vote.py:36-39), so both the confirm and the
+    # kill step read the strict-lower-triangle adjacency; with a truncated
+    # (asymmetric) adjacency the full matrix would let a later-confirmed
+    # node wrongly kill an earlier active one
     earlier = jnp.tril(jnp.ones((m, m), bool), k=-1)
     adj_earlier_f = (adj & earlier).astype(jnp.float32)
 
@@ -57,8 +77,9 @@ def greedy_nms(
     # maximal independent set — a node is kept iff it has no earlier-indexed
     # kept neighbor. Each round confirms every still-active node with no
     # earlier-indexed active neighbor (greedy must keep those), then kills
-    # their active neighbors. Rounds needed = suppression-chain depth
-    # (typically < 10), vs M sequential steps for the naive loop.
+    # the later actives that see a confirmed suppressor. Rounds needed =
+    # suppression-chain depth (typically < 10), vs M sequential steps for
+    # the naive loop.
     def cond(state):
         _, active = state
         return jnp.any(active)
@@ -68,7 +89,7 @@ def greedy_nms(
         a = active.astype(jnp.float32)
         has_earlier_active = (adj_earlier_f @ a) > 0.0
         confirm = active & ~has_earlier_active
-        killed = (adj_f @ confirm.astype(jnp.float32)) > 0.0
+        killed = (adj_earlier_f @ confirm.astype(jnp.float32)) > 0.0
         keep = keep | confirm
         active = active & ~confirm & ~killed
         return keep, active

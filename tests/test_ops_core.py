@@ -334,6 +334,64 @@ class TestGreedyNMS:
         # node 1 is exactly radius from node 0 -> kept; node 2 within -> killed
         assert keep.tolist() == [True, True, False]
 
+    def _truncated_oracle(self, nodes, mask, radius, limit):
+        """Reference vote.py:24-39 semantics: each node sees its radius
+        neighbors sorted by distance (SELF first at distance 0) truncated
+        to `limit`; keep i iff no already-kept node in that list."""
+        keep = np.zeros(len(nodes), bool)
+        for i in range(len(nodes)):
+            if not mask[i]:
+                continue
+            d = np.linalg.norm(nodes - nodes[i], axis=1)
+            within = np.where((d < radius) & mask)[0]
+            order = within[np.argsort(d[within], kind="stable")][:limit]
+            keep[i] = not keep[order].any()
+        return keep
+
+    def test_neighbor_limit_divergence_is_bounded_and_reproduced(self):
+        """The exact-vs-reference NMS divergence (ops/nms.py note), pinned:
+        in a cluster DENSER than the reference's neighbor limit, a node's
+        truncated adjacency misses its farthest within-radius neighbor and
+        escapes suppression. neighbor_limit= replicates that truncation."""
+        # node 0 kept; nodes 1-4 hug node 0 at ~0.05 (suppressed: node 0
+        # stays at the HEAD of their sorted lists). node 5 sits 0.99 from
+        # node 0 — its FARTHEST within-radius neighbor — and ~0.94 from
+        # nodes 1-4, so its sorted list is [self, 1, 2, 3, 4, 0]; limit=5
+        # truncates node 0 away and the reference KEEPS node 5 while the
+        # exact adjacency suppresses it.
+        nodes = np.array(
+            [[0.0, 0, 0], [0.05, 0.01, 0], [0.05, -0.01, 0],
+             [0.05, 0, 0.01], [0.05, 0, -0.01], [0.99, 0, 0]], np.float32)
+        mask = np.ones(6, bool)
+        exact = np.asarray(greedy_nms(jnp.asarray(nodes), jnp.asarray(mask), 1.0))
+        trunc = np.asarray(greedy_nms(
+            jnp.asarray(nodes), jnp.asarray(mask), 1.0, neighbor_limit=5))
+        assert exact.tolist() == [True, False, False, False, False, False]
+        assert trunc.tolist() == [True, False, False, False, False, True]
+        np.testing.assert_array_equal(
+            trunc, self._truncated_oracle(nodes, mask, 1.0, 5))
+        # the divergence is one-sided: truncation can only ADD survivors
+        assert not np.any(exact & ~trunc)
+
+    def test_neighbor_limit_matches_truncated_oracle_random(self, rng):
+        """Truncated mode == the reference-semantics numpy oracle on dense
+        random clusters (many nodes exceed the limit), incl. pad rows."""
+        nodes = (rng.rand(60, 3) * 2.0).astype(np.float32)  # dense in radius 1
+        mask = rng.rand(60) > 0.15
+        for limit in (3, 8, 64):
+            got = np.asarray(greedy_nms(
+                jnp.asarray(nodes), jnp.asarray(mask), 1.0,
+                neighbor_limit=limit))
+            want = self._truncated_oracle(nodes, mask, 1.0, limit)
+            np.testing.assert_array_equal(got, want, err_msg=f"limit={limit}")
+        # a limit >= cluster sizes reproduces the exact result
+        exact = np.asarray(greedy_nms(jnp.asarray(nodes), jnp.asarray(mask), 1.0))
+        np.testing.assert_array_equal(
+            np.asarray(greedy_nms(jnp.asarray(nodes), jnp.asarray(mask), 1.0,
+                                  neighbor_limit=64)),
+            exact,
+        )
+
 
 class TestVoxelSortKey:
     def test_clip_telemetry_on_outlier(self, rng):
