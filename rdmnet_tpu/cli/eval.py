@@ -134,6 +134,15 @@ def main():
         help="write trajectory (Umeyama/ATE) and recall-vs-threshold figures",
     )
     parser.add_argument("--figure_dir", default=None)
+    parser.add_argument(
+        "--baselines", default=None,
+        choices=["kitti", "kitti360", "apollo", "mulran", "none"],
+        help="overlay bundled published results (utils/baselines.py: the "
+             "reference README table + the standard KITTI benchmark rows) "
+             "on the --figures output, and write a method-comparison "
+             "figure. Default: inferred from the feature_dir name when it "
+             "contains a dataset key; 'none' disables",
+    )
     args = parser.parse_args()
 
     cfg = make_cfg()
@@ -258,10 +267,23 @@ def main():
         print("failed pairs:", fail_cases)
 
     if args.figures and all_pairs:
+        from rdmnet_tpu.utils.baselines import published_for
         from rdmnet_tpu.utils.eval_figures import (
+            plot_method_comparison,
             plot_recall_curves,
             sequence_trajectory_report,
         )
+
+        baselines = args.baselines
+        if baselines is None:
+            # infer from conventional feature_dir naming (cli/test default:
+            # output/features<dataset>)
+            base = osp.basename(osp.normpath(args.feature_dir)).lower()
+            for key in ("kitti360", "mulran", "apollo", "kitti"):
+                if key in base:
+                    baselines = key
+                    break
+        published = published_for(baselines) if baselines not in (None, "none") else {}
 
         figure_dir = args.figure_dir or osp.join(args.feature_dir, "figures")
         ate = sequence_trajectory_report(all_pairs, figure_dir, method=args.method)
@@ -276,7 +298,21 @@ def main():
             )},
             rre_fixed=cfg.eval.rre_threshold,
             rte_fixed=cfg.eval.rte_threshold,
+            published=published,
         )
+        if published:
+            ours = f"ours ({args.method})"
+            rows = {ours: {
+                "rr": reg_meter.mean("recall") * 100,
+                "rre_deg": float(np.mean(accepted_rre)) if accepted_rre else float("nan"),
+                "rte_cm": float(np.mean(accepted_rte)) * 100 if accepted_rte else float("nan"),
+            }}
+            rows.update(published)
+            plot_method_comparison(
+                osp.join(figure_dir, f"method_comparison_{args.method}.png"),
+                rows, highlight=ours,
+                title=f"{baselines}: this run vs published results",
+            )
         print(f"figures written to {figure_dir}")
 
 

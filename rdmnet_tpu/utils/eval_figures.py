@@ -143,10 +143,16 @@ def plot_recall_curves(
     per_method: Dict[str, Tuple[np.ndarray, np.ndarray]],
     rre_fixed: float = 5.0,
     rte_fixed: float = 2.0,
+    published: Dict[str, Dict[str, float]] | None = None,
 ) -> None:
     """Two-panel recall-vs-threshold figure. ``per_method`` maps a method
     name to its per-pair (rre_deg, rte_m) arrays; multiple methods overlay
-    (this is how the reference compares against Predator/CoFiNet/GeoTr)."""
+    (this is how the reference compares against Predator/CoFiNet/GeoTr).
+
+    ``published`` optionally overlays bundled summary results
+    (utils/baselines.py): each method's published RR at the fixed
+    thresholds, drawn as a level line (per-pair errors were never
+    published, so full curves exist only for our own runs)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -161,15 +167,55 @@ def plot_recall_curves(
         )
         ax1.plot(rre_grid, rr_rre * 100, marker=".", label=name)
         ax2.plot(rte_grid, rr_rte * 100, marker=".", label=name)
+    for name, row in (published or {}).items():
+        for ax in (ax1, ax2):
+            ax.axhline(row["rr"], ls="--", lw=1, alpha=0.7,
+                       label=f"{name} (published RR {row['rr']:.1f}%)")
     ax1.set_xlabel("RRE threshold [deg]")
     ax1.set_ylabel("registration recall [%]")
     ax1.set_title(f"RTE fixed at {rte_fixed} m")
     ax2.set_xlabel("RTE threshold [m]")
     ax2.set_title(f"RRE fixed at {rre_fixed} deg")
-    ax1.legend(loc=4)
-    ax2.legend(loc=4)
+    ax1.legend(loc=4, fontsize=8)
+    ax2.legend(loc=4, fontsize=8)
     ax1.grid(alpha=0.3)
     ax2.grid(alpha=0.3)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_method_comparison(
+    path: str,
+    rows: Dict[str, Dict[str, float]],
+    highlight: str | None = None,
+    title: str = "",
+) -> None:
+    """Three-panel bar comparison (RR %, RRE deg, RTE cm) across methods —
+    the summary-table counterpart of the reference's baseline-method
+    comparison plots. ``rows``: method -> {rr, rre_deg, rte_cm};
+    ``highlight`` draws one method (ours) in a distinct color."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = list(rows)
+    fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+    panels = [("rr", "RR [%]"), ("rre_deg", "RRE [deg]"), ("rte_cm", "RTE [cm]")]
+    for ax, (key, label) in zip(axes, panels):
+        vals = [rows[n].get(key, np.nan) for n in names]
+        colors = ["tab:red" if n == highlight else "tab:blue" for n in names]
+        ax.bar(range(len(names)), vals, color=colors, alpha=0.8)
+        ax.set_xticks(range(len(names)))
+        ax.set_xticklabels(names, rotation=30, ha="right", fontsize=8)
+        ax.set_ylabel(label)
+        ax.grid(alpha=0.3, axis="y")
+        for i, v in enumerate(vals):
+            if np.isfinite(v):
+                ax.text(i, v, f"{v:.2f}", ha="center", va="bottom", fontsize=7)
+    if title:
+        fig.suptitle(title)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, dpi=150, bbox_inches="tight")
     plt.close(fig)

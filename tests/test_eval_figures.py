@@ -108,6 +108,37 @@ class TestFigureFiles:
         )
         assert (tmp_path / "recall.png").stat().st_size > 0
 
+    def test_published_overlay_and_comparison_figure(self, tmp_path, rng):
+        """The bundled published results (utils/baselines.py) overlay the
+        recall curves and render the method-comparison bars — the
+        distributable stand-in for the reference's baseline-method plots
+        (eval_visualization_for_basline_methods.py)."""
+        from rdmnet_tpu.utils.baselines import PUBLISHED_RESULTS, published_for
+        from rdmnet_tpu.utils.eval_figures import plot_method_comparison
+
+        pub = published_for("kitti")
+        # the table must carry the reference README rows + >=3 baselines
+        assert "RDMNet (paper)" in pub and len(pub) >= 4
+        assert pub["RDMNet (paper)"] == {"rr": 99.82, "rre_deg": 0.18,
+                                         "rte_cm": 5.3}
+        for ds in ("kitti360", "apollo", "mulran"):
+            assert "RDMNet (paper)" in PUBLISHED_RESULTS[ds]
+        assert published_for("nonexistent") == {}
+
+        plot_recall_curves(
+            str(tmp_path / "recall_pub.png"),
+            {"ours": (np.abs(rng.randn(50)), np.abs(rng.randn(50)))},
+            published=pub,
+        )
+        assert (tmp_path / "recall_pub.png").stat().st_size > 0
+        rows = {"ours (lgr)": {"rr": 88.0, "rre_deg": 0.5, "rte_cm": 9.0}}
+        rows.update(pub)
+        plot_method_comparison(
+            str(tmp_path / "cmp.png"), rows, highlight="ours (lgr)",
+            title="kitti",
+        )
+        assert (tmp_path / "cmp.png").stat().st_size > 0
+
     def test_sequence_report(self, tmp_path, rng):
         rels = [random_transform(rng, max_angle=0.1, max_trans=2.0) for _ in range(6)]
         pairs = [
