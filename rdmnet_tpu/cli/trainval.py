@@ -55,6 +55,28 @@ def main():
              "rotations, 12 = up to 30 deg per axis)",
     )
     parser.add_argument(
+        "--augmentation_scale", default=None,
+        help="global-scale augmentation range as MIN,MAX (reference "
+             "aug 0.8,1.2); '1,1' disables scaling",
+    )
+    parser.add_argument(
+        "--augmentation_shift", type=float, default=None,
+        help="per-cloud random-shift bound in meters (reference 2.0); "
+             "0 disables",
+    )
+    parser.add_argument(
+        "--augmentation_noise", type=float, default=None,
+        help="uniform point-jitter amplitude in meters (reference 0.01)",
+    )
+    parser.add_argument(
+        "--init_from", default=None,
+        help="warm-start MODEL PARAMS from another run's snapshot dir "
+             "(e.g. <run>/snapshots_best) with a fresh optimizer/schedule — "
+             "curriculum phases and fine-tuning; unlike --resume, the "
+             "source run's optimizer structure and epoch counter are "
+             "ignored",
+    )
+    parser.add_argument(
         "--grad_acc", type=int, default=None,
         help="gradient-accumulation micro-steps per applied update "
              "(reference cfg.optim.grad_acc_steps, config.py:82; "
@@ -119,6 +141,16 @@ def main():
     if args.augmentation_rotation is not None:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, augmentation_rotation=args.augmentation_rotation))
+    if args.augmentation_scale is not None:
+        lo, hi = (float(v) for v in args.augmentation_scale.split(","))
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, augmentation_min_scale=lo, augmentation_max_scale=hi))
+    if args.augmentation_shift is not None:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, augmentation_shift=args.augmentation_shift))
+    if args.augmentation_noise is not None:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, augmentation_noise=args.augmentation_noise))
     if args.grad_acc is not None:
         cfg = cfg.replace(
             optim=dataclasses.replace(cfg.optim, grad_acc_steps=args.grad_acc))
@@ -173,6 +205,8 @@ def main():
         output_dir=args.output_dir, log_steps=args.log_steps,
         keep_snapshots=args.keep_snapshots,
     )
+    if args.init_from and not args.resume:
+        trainer.warm_start(args.init_from)
     trainer.run(resume=args.resume)
 
 

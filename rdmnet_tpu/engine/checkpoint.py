@@ -66,5 +66,21 @@ class CheckpointManager:
         )
         return restored["state"], (restored.get("metadata") or {})
 
+    def restore_params(self, step: Optional[int] = None) -> Any:
+        """Restore ONLY the model params subtree, template-free.
+
+        For warm starts (curriculum phases, fine-tuning) the optimizer tree
+        of the saved state need not match the new run's (e.g. a MultiSteps
+        wrapper added by --grad_acc), so a full-state template restore would
+        fail; this reads the raw saved pytree and returns its 'params'."""
+        self._mgr.wait_until_finished()
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        restored = self._mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+        )
+        return restored["state"]["params"]
+
     def close(self):
         self._mgr.close()

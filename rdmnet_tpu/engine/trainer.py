@@ -160,6 +160,16 @@ class Trainer:
             pass
         self.logger.info(f"resumed from snapshot step={step} epoch={self.epoch}")
 
+    def warm_start(self, snapshot_dir: str, step: Optional[int] = None):
+        """Load PARAMS ONLY from another run's snapshot (curriculum phases /
+        fine-tuning): fresh optimizer state, epoch counter, and LR schedule,
+        regardless of the source run's optimizer structure."""
+        params = CheckpointManager(snapshot_dir).restore_params(step)
+        self.state = self.state.replace(params=params)
+        if self.mesh is not None:
+            self.state = replicate_to_mesh(self.state, self.mesh)
+        self.logger.info(f"warm-started params from {snapshot_dir}")
+
     def train_epoch(self):
         board = SummaryBoard(last_n=self.log_steps)
         timer = Timer()

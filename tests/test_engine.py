@@ -58,6 +58,32 @@ class TestCheckpointRoundTrip:
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
         mgr.close()
 
+    def test_restore_params_across_optimizer_structures(self, tmp_path):
+        """Warm starts (--init_from) restore params template-free: a
+        snapshot saved WITHOUT grad accumulation must load into a run whose
+        optimizer tree differs (optax.MultiSteps wrapper from --grad_acc)."""
+        import dataclasses
+
+        cfg = make_tiny_cfg()
+        batch = make_batch(cfg, None, bsz=1)
+        single = jax.tree.map(lambda x: x[0], batch)
+        state = create_train_state(cfg, jax.random.PRNGKey(0), single, steps_per_epoch=5)
+        mgr = CheckpointManager(str(tmp_path / "snap"))
+        mgr.save(1, jax.device_get(state), metadata={"epoch": 1})
+
+        acc_cfg = cfg.replace(
+            optim=dataclasses.replace(cfg.optim, grad_acc_steps=4))
+        state2 = create_train_state(
+            acc_cfg, jax.random.PRNGKey(9), single, steps_per_epoch=5)
+        params = CheckpointManager(str(tmp_path / "snap")).restore_params()
+        state2 = state2.replace(params=params)
+        a = jax.tree.leaves(state.params)
+        b = jax.tree.leaves(state2.params)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        mgr.close()
+
 
 class TestTrainerLoop:
     def test_one_epoch_with_snapshot_and_resume(self, tiny_kitti, tmp_path):
