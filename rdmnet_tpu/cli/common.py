@@ -36,6 +36,15 @@ def add_pyramid_overrides(parser) -> None:
              "neighbors and count in the `dropped` telemetry",
     )
     parser.add_argument(
+        "--caps", default=None,
+        help="per-level pyramid point capacities, comma ints (e.g. "
+             "30000,12288,5120,2048,1024): the static bucket sizes a "
+             "dataset's level occupancies must fit — override when the "
+             "default halving profile mismatches the data (the `dropped` "
+             "telemetry counts clipped voxels). Applied before any "
+             "--bucket_scale scaling",
+    )
+    parser.add_argument(
         "--platform", default=None, choices=["cpu", "tpu"],
         help="force the jax backend (the JAX_PLATFORMS env var is NOT "
              "honored when a TPU plugin is installed; this applies the "
@@ -55,6 +64,13 @@ def apply_pyramid_overrides(cfg: Config, args) -> Config:
     import dataclasses
 
     pyr = cfg.pyramid
+    if getattr(args, "caps", None):
+        caps = tuple(int(v) for v in args.caps.split(","))
+        if len(caps) != len(pyr.caps):
+            raise ValueError(
+                f"--caps needs {len(pyr.caps)} per-level values, got {len(caps)}"
+            )
+        pyr = dataclasses.replace(pyr, caps=caps)
     if getattr(args, "neighbor_limits", None):
         limits = tuple(int(v) for v in args.neighbor_limits.split(","))
         pyr = dataclasses.replace(pyr, neighbor_limits=limits)

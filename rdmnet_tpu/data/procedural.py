@@ -162,6 +162,7 @@ def lidar_scan(
     max_range: float = 80.0,
     range_noise: float = 0.02,
     voxel_size: float = 0.3,
+    fov_deg: float | None = None,
 ) -> np.ndarray:
     """Render one scan from a world-from-sensor pose. Returns (N, 4) xyzi
     float32 in the SENSOR frame, voxel-downsampled at `voxel_size`.
@@ -170,9 +171,19 @@ def lidar_scan(
     boxes, cylinders}; misses and hits beyond `max_range` are dropped, so
     two scans of the same scene from different poses have genuinely
     different occlusion shadows.
+
+    ``fov_deg`` restricts the azimuthal field of view to a BODY-FIXED
+    sector of that width centered on +x (forward): the MulRan sensors lose
+    ~70 deg to the vehicle body (reference README.md:108 — pass 290), so
+    the blocked sector rotates with the sensor and the pair overlap becomes
+    viewpoint-asymmetric, the reference's hardest evaluation regime.
     """
+    rays = _ray_dirs(n_rings, n_azimuths)
+    if fov_deg is not None:
+        az = np.degrees(np.arctan2(rays[:, 1], rays[:, 0]))
+        rays = rays[np.abs(az) <= fov_deg / 2.0]
     rot, org = pose[:3, :3], pose[:3, 3]
-    d = _ray_dirs(n_rings, n_azimuths) @ rot.T  # world-frame directions
+    d = rays @ rot.T  # world-frame directions
     with np.errstate(divide="ignore", invalid="ignore"):
         t_ground = np.where(d[:, 2] < -1e-9, -org[2] / d[:, 2], np.inf)
     t = np.minimum(t_ground, _intersect_boxes(org, d, scene.boxes))
@@ -197,6 +208,7 @@ def procedural_sequence(
     n_rings: int = 44,
     n_azimuths: int = 1100,
     step: float = 10.0,
+    fov_deg: float | None = None,
 ):
     """One scene + trajectory -> (scans, poses): scans[k] is the (N, 4)
     sensor-frame xyzi cloud at poses[k] (world-from-sensor 4x4).
@@ -209,7 +221,8 @@ def procedural_sequence(
     scene = make_scene(rng, corridor_length=max(60.0, n_frames * step + 30.0))
     poses = trajectory(rng, n_frames, step=step)
     scans = [
-        lidar_scan(scene, poses[k], rng, n_rings=n_rings, n_azimuths=n_azimuths)
+        lidar_scan(scene, poses[k], rng, n_rings=n_rings,
+                   n_azimuths=n_azimuths, fov_deg=fov_deg)
         for k in range(n_frames)
     ]
     return scans, poses

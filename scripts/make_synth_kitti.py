@@ -72,7 +72,7 @@ def build_seq(root, schema, seq, base, n_frames, rng, intensity=True):
 
 
 def build_procedural_seq(root, schema, seq, seed, n_frames, rings, azimuths,
-                         step, intensity=True):
+                         step, intensity=True, fov_deg=None):
     """One procedurally generated scene per sequence: ray-cast scans from a
     moving sensor (viewpoint-dependent occlusion), GT pair transforms from
     the exact sensor poses. Distinct seeds per sequence mean test splits
@@ -80,7 +80,8 @@ def build_procedural_seq(root, schema, seq, seed, n_frames, rings, azimuths,
     from rdmnet_tpu.data.procedural import procedural_sequence
 
     scans, poses = procedural_sequence(
-        seed, n_frames, n_rings=rings, n_azimuths=azimuths, step=step
+        seed, n_frames, n_rings=rings, n_azimuths=azimuths, step=step,
+        fov_deg=fov_deg,
     )
     gt_path = osp.join(root, schema.gt_file.format(seq=seq))
     os.makedirs(osp.dirname(gt_path), exist_ok=True)
@@ -138,6 +139,13 @@ def main():
                     help="sensor advance per frame (m) for --procedural "
                          "(the reference pairs frames >10 m apart)")
     ap.add_argument(
+        "--fov_deg", type=float, default=None,
+        help="azimuthal field of view for --procedural scans, a BODY-FIXED "
+             "sector centered forward: MulRan-style sensors lose ~70 deg to "
+             "the vehicle (reference README.md:108) — pass 290 to replicate "
+             "that asymmetric-overlap stress regime",
+    )
+    ap.add_argument(
         "--scan", nargs="+",
         default=[
             "/root/reference/assets/pc/000000.npy",
@@ -160,6 +168,7 @@ def main():
             build_procedural_seq(
                 args.out, schema, seq, int(rng.randint(2**31)), n_frames,
                 args.rings, args.azimuths, args.step, intensity=intensity,
+                fov_deg=args.fov_deg,
             )
 
         if args.layout == "kitti":
