@@ -1,9 +1,21 @@
-"""Weighted Procrustes / Kabsch pose solver — batched, native TPU SVD.
+"""Weighted Procrustes pose solver — batched, native on TPU.
 
-Reimplements reference geotransformer/modules/registration/procrustes.py:6-91
-(weighted Kabsch with det-sign correction). The reference ships the 3x3
-cross-covariance to the CPU for torch.svd (procrustes.py:53); on TPU
-``jnp.linalg.svd`` over a (B, 3, 3) batch runs on device — no boundary.
+Solves the same problem as reference geotransformer/modules/registration/
+procrustes.py:6-91 (weighted Kabsch; the reference ships the 3x3
+cross-covariance to the CPU for torch.svd, procrustes.py:53) but via
+Horn's unit-quaternion method (Horn 1987): the rotation is the top
+eigenvector of a symmetric 4x4 built from the cross-covariance,
+``jnp.linalg.eigh`` over a (B, 4, 4) batch on device.
+
+Why not SVD: Kabsch needs ALL singular subspaces of H, and LiDAR
+cross-covariances are anisotropic (planar scans: sigma3 << sigma1), where
+the TPU/XLA float32 SVD loses the weak subspace — measured 0.045 deg of
+rotation error on a real KITTI scan (scripts/tpu_smoke.py pins this), the
+same order as the published RRE targets. Horn's method needs only the TOP
+eigenvector of K, whose gap is set by the LARGE singular values, so f32
+eigh recovers the rotation to f64 accuracy on the same problem (measured
+0.000 deg). It also yields a proper rotation by construction — no
+det-sign reflection hack.
 """
 
 from __future__ import annotations
@@ -15,6 +27,35 @@ from rdmnet_tpu.ops.geometry import (
     EXACT_MATMUL,
     get_transform_from_rotation_translation,
 )
+
+
+def _horn_rotation(h: jnp.ndarray) -> jnp.ndarray:
+    """Optimal proper rotation R maximizing tr(R H) from the (..., 3, 3)
+    weighted cross-covariance H[a, b] = sum_i w_i src_c[i, a] ref_c[i, b],
+    via the top eigenvector of Horn's symmetric 4x4 K (quaternion wxyz)."""
+    sxx, sxy, sxz = h[..., 0, 0], h[..., 0, 1], h[..., 0, 2]
+    syx, syy, syz = h[..., 1, 0], h[..., 1, 1], h[..., 1, 2]
+    szx, szy, szz = h[..., 2, 0], h[..., 2, 1], h[..., 2, 2]
+    row0 = jnp.stack([sxx + syy + szz, syz - szy, szx - sxz, sxy - syx], -1)
+    row1 = jnp.stack([syz - szy, sxx - syy - szz, sxy + syx, szx + sxz], -1)
+    row2 = jnp.stack([szx - sxz, sxy + syx, syy - sxx - szz, syz + szy], -1)
+    row3 = jnp.stack([sxy - syx, szx + sxz, syz + szy, szz - sxx - syy], -1)
+    k = jnp.stack([row0, row1, row2, row3], -2)
+    # degenerate H (no valid correspondences -> K = 0) must resolve to the
+    # IDENTITY rotation, not an arbitrary eigenvector: bias the identity
+    # quaternion's diagonal entry by an amount far below f32 resolution of
+    # any real K but decisive on an exact zero matrix
+    k = k.at[..., 0, 0].add(1e-12 + 1e-9 * jnp.abs(h).sum((-1, -2)))
+    _, vecs = jnp.linalg.eigh(k)  # ascending eigenvalues
+    q = vecs[..., -1]
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                    2 * (x * z + y * w)], -1)
+    r1 = jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                    2 * (y * z - x * w)], -1)
+    r2 = jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                    1 - 2 * (x * x + y * y)], -1)
+    return jnp.stack([r0, r1, r2], -2)
 
 
 def weighted_procrustes(
@@ -53,20 +94,13 @@ def weighted_procrustes(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    u, _, vt = jnp.linalg.svd(h)
-    # R = V diag(1,1,sign) U^T with sign = det(V U^T). All 3x3 composition
-    # matmuls run at HIGHEST precision (geometry.EXACT_MATMUL policy): the
-    # TPU bf16 default would put ~1e-3 relative error straight into the
-    # rotation (~0.1 deg — the same order as the RRE accuracy target).
-    exact = EXACT_MATMUL
-    v = jnp.swapaxes(vt, -1, -2)
-    ut = jnp.swapaxes(u, -1, -2)
-    sign = jnp.sign(jnp.linalg.det(jnp.matmul(v, ut, **exact)))
-    d = jnp.ones(h.shape[:-2] + (3,), dtype=h.dtype)
-    d = d.at[..., 2].set(sign)
-    r = jnp.matmul(v * d[..., None, :], ut, **exact)
-
+    # Horn quaternion solve (see module docstring: f32 SVD loses 0.045 deg
+    # on anisotropic LiDAR covariances; the 4x4 eigh recovers f64 accuracy
+    # and is proper-rotation by construction). The translation matmul runs
+    # at HIGHEST precision (geometry.EXACT_MATMUL policy): the TPU bf16
+    # default would put ~1e-3 relative error straight into the pose.
+    r = _horn_rotation(h)
     t = jnp.squeeze(ref_centroid, -2) - jnp.squeeze(
-        jnp.matmul(r, jnp.swapaxes(src_centroid, -1, -2), **exact), -1
+        jnp.matmul(r, jnp.swapaxes(src_centroid, -1, -2), **EXACT_MATMUL), -1
     )
     return get_transform_from_rotation_translation(r, t)

@@ -1,0 +1,157 @@
+"""On-chip kernel/precision smoke: asserts the contracts that interpret-mode
+CI cannot check (tests/test_pallas_kernels.py runs interpret=True on CPU).
+
+Round-2 shipped a bug exactly in this gap: the pallas exact-kNN ran its
+distance matmul on the bf16 MXU pass, violating its exact-top-k contract —
+found by hand on the chip. This script mechanizes that class of check:
+
+  1. pallas exact-kNN (compiled TPU lowering) == the jnp exact search,
+     bit-for-bit (indices AND order) on a real bundled scan;
+  2. pallas fused Sinkhorn (VMEM kernel) == the lax.scan path;
+  3. approx (banded + approx_max_k) search recall vs exact >= the
+     configured target on a real scan;
+  4. SE(3) pose path under HIGHEST matmul precision recovers a known
+     transform on a real scan to sub-0.01-deg / sub-mm;
+  5. grid_subsample level occupancies on the demo scan match the pinned
+     values (deterministic voxel pipeline).
+
+Run: python scripts/tpu_smoke.py   (on the TPU; ~2 min incl. compiles)
+Exits nonzero on any violated contract.
+"""
+
+import os.path as osp
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--interpret", action="store_true",
+        help="run the pallas kernels in interpret mode on CPU — a dry run "
+             "of this script's plumbing only; the POINT is the compiled "
+             "TPU lowering, so the real check needs the chip",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    print(f"devices: {jax.devices()}")
+    failures = []
+    interp = {"interpret": True} if args.interpret else {}
+
+    def check(name, ok, detail=""):
+        print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}")
+        if not ok:
+            failures.append(name)
+
+    scan = np.load("/root/reference/assets/pc/000000.npy")[:, :3].astype(np.float32)
+
+    # ---- 1. pallas exact-kNN == jnp exact search (the r2 bug class) ------
+    from rdmnet_tpu.ops.pallas.radius_knn import radius_knn_pallas
+    from rdmnet_tpu.ops.radius_search import radius_knn
+
+    q = jnp.asarray(scan[:2048])
+    s = jnp.asarray(scan[:4096])
+    s_count = jnp.int32(4000)
+    radius, k = 4.8, 32
+    want = np.asarray(jax.jit(
+        lambda q, s: radius_knn(q, s, s_count, radius, k, approx_recall=None)
+    )(q, s))
+    got = np.asarray(jax.jit(
+        lambda q, s: radius_knn_pallas(q, s, s_count, radius, k, **interp)
+    )(q, s))
+    check("pallas exact-kNN == jnp exact (indices+order)",
+          bool(np.array_equal(got, want)),
+          f"mismatched rows: {(got != want).any(axis=1).sum()}/{len(got)}")
+
+    # ---- 2. pallas fused Sinkhorn == lax.scan path -----------------------
+    from rdmnet_tpu.nn.sinkhorn import log_sinkhorn
+    from rdmnet_tpu.ops.pallas.sinkhorn import sinkhorn_pallas
+
+    rng = np.random.RandomState(0)
+    scores = jnp.asarray(rng.randn(8, 33, 33).astype(np.float32))
+    log_mu = jnp.asarray(rng.randn(8, 33).astype(np.float32) * 0.1)
+    log_nu = jnp.asarray(rng.randn(8, 33).astype(np.float32) * 0.1)
+    a = np.asarray(jax.jit(lambda s, m, n: log_sinkhorn(s, m, n, 30))(
+        scores, log_mu, log_nu))
+    b = np.asarray(jax.jit(
+        lambda s, m, n: sinkhorn_pallas(s, m, n, 30, block_patches=4, **interp)
+    )(scores, log_mu, log_nu))
+    err = float(np.abs(a - b).max())
+    check("pallas Sinkhorn == scan path", err < 1e-3, f"max |diff| = {err:.2e}")
+
+    # ---- 3. approx search recall vs exact on a real scan -----------------
+    from rdmnet_tpu.config import make_cfg
+
+    cfg = make_cfg()
+    target = cfg.pyramid.approx_recall or 0.95
+    approx = np.asarray(jax.jit(
+        lambda q, s: radius_knn(q, s, s_count, radius, k,
+                                approx_recall=target)
+    )(q, s))
+    # per-row recall of the exact neighbor SET (sentinels excluded)
+    hits = sames = 0
+    for i in range(want.shape[0]):
+        w = set(want[i][want[i] >= 0].tolist()) - {int(s_count)}
+        g = set(approx[i][approx[i] >= 0].tolist()) - {int(s_count)}
+        w = {v for v in w if v < int(s_count)}
+        g = {v for v in g if v < int(s_count)}
+        if w:
+            hits += len(w & g)
+            sames += len(w)
+    recall = hits / max(sames, 1)
+    check(f"approx search recall >= {target}", recall >= target,
+          f"measured {recall:.4f}")
+
+    # ---- 4. SE(3) HIGHEST-precision pose recovery ------------------------
+    from rdmnet_tpu.ops.geometry import apply_transform
+    from rdmnet_tpu.ops.procrustes import weighted_procrustes
+    from rdmnet_tpu.utils.metrics_np import compute_registration_error
+    from rdmnet_tpu.utils.se3_np import euler_zyx_matrix
+
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, :3] = euler_zyx_matrix(0.9, -0.4, 0.3).astype(np.float32)
+    gt[:3, 3] = [2.0, -1.5, 0.8]
+    src = jnp.asarray(scan[:8192])
+
+    @jax.jit
+    def recover(src):
+        with jax.default_matmul_precision("highest"):
+            ref = apply_transform(src, jnp.asarray(gt))
+            return weighted_procrustes(src, ref)
+
+    est = np.asarray(recover(src))
+    rre, rte, *_ = compute_registration_error(gt, est)
+    check("SE(3) HIGHEST-precision recovery", rre < 0.01 and rte < 1e-3,
+          f"RRE {rre:.5f} deg, RTE {rte * 1000:.3f} mm")
+
+    # ---- 5. deterministic voxel pipeline on the demo scan ----------------
+    from rdmnet_tpu.graph.pyramid import build_pair_batch, pad_cloud
+
+    rp, rc = pad_cloud(jnp.asarray(scan), cfg.pyramid.caps[0])
+    batch = jax.jit(
+        lambda rp, rc: build_pair_batch(rp, rc, rp, rc, jnp.eye(4), cfg.pyramid)
+    )(rp, rc)
+    counts = [int(c) for c in jax.device_get(batch.ref.counts)]
+    check("grid_subsample occupancies pinned",
+          counts == [20524, 8145, 3240, 1139, 431], f"got {counts}")
+
+    if failures:
+        print(f"\nSMOKE FAILED: {failures}")
+        sys.exit(1)
+    print("\nall on-chip contracts hold")
+
+
+if __name__ == "__main__":
+    main()
