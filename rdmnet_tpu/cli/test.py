@@ -180,6 +180,30 @@ def _export_pair_vis(pair_dir, dumped, vis, transform, acceptance_radius):
         dumped["ref_corr_points"], dumped["src_corr_points"],
         corr_correct=resid < acceptance_radius,
     )
+    # the INTERACTIVE half of the reference's cfg.test.vis (o3d windows,
+    # visualization.py:139-436): one self-contained HTML per pair — src
+    # aligned by the ESTIMATED transform, green/red lines by GT residual,
+    # NMS-survivor node layers; opens from disk in any browser
+    from rdmnet_tpu.utils.html_viewer import export_pair_html
+
+    est = dumped["estimated_transform"]
+    extra = {}
+    for side in ("ref", "src"):
+        if f"vis_{side}_shifted" in vis:
+            nodes = vis[f"vis_{side}_shifted"][vis[f"vis_{side}_keep"]]
+            if side == "src":
+                nodes = apply_transform(nodes, est)
+            extra[f"{side} NMS survivors"] = nodes
+    export_pair_html(
+        osp.join(pair_dir, "viewer.html"),
+        dumped["ref_points"],
+        apply_transform(dumped["src_points"], est),
+        corr_ref=dumped["ref_corr_points"],
+        corr_src_aligned=apply_transform(dumped["src_corr_points"], est),
+        corr_correct=resid < acceptance_radius,
+        extra_layers=extra,
+        title=osp.basename(pair_dir),
+    )
     for side in ("ref", "src"):
         if f"vis_{side}_shifted" in vis:
             export_votes(

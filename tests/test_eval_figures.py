@@ -184,3 +184,42 @@ class TestTrainingCurves:
             out = tmp_path / f"{phase}.png"
             assert plot_phase(series, phase, str(out), logy_keys={"loss"})
             assert out.stat().st_size > 0
+
+
+class TestHtmlViewer:
+    def test_export_pair_html(self, tmp_path, rng):
+        """Self-contained interactive viewer (the headless stand-in for the
+        reference's o3d windows): valid standalone HTML embedding every
+        layer — both clouds, green/red match lines split by correctness,
+        extra node layers — with no external resources."""
+        from rdmnet_tpu.utils.html_viewer import export_pair_html
+
+        ref = rng.rand(500, 3).astype(np.float32) * 20
+        src = ref + 0.01
+        corr_r = ref[:40]
+        corr_s = src[:40]
+        ok = np.zeros(40, bool)
+        ok[:25] = True
+        path = export_pair_html(
+            str(tmp_path / "v.html"), ref, src,
+            corr_ref=corr_r, corr_src_aligned=corr_s, corr_correct=ok,
+            extra_layers={"ref NMS survivors": ref[::50]},
+            title="pair 8_0_1",
+        )
+        html = open(path).read()
+        assert html.startswith("<!DOCTYPE html>")
+        assert "pair 8_0_1" in html
+        for name in ("ref (500)", "src aligned (500)", "correct matches (25)",
+                     "wrong matches (15)", "ref NMS survivors (10)"):
+            assert name in html, name
+        # no external fetches: file must work offline from disk
+        assert "http://" not in html and "https://" not in html
+        # embedded layer data round-trips
+        import base64, json, re
+        layers = json.loads(re.search(r"const LAYERS = (\[.*?\]);\n", html,
+                                      re.S).group(1))
+        data = np.frombuffer(base64.b64decode(layers[0]["data"]), np.float32)
+        np.testing.assert_allclose(data.reshape(-1, 3), ref, rtol=1e-6)
+        seg = np.frombuffer(base64.b64decode(layers[2]["data"]),
+                            np.float32).reshape(-1, 2, 3)
+        assert len(seg) == 25  # correct matches as line segment pairs

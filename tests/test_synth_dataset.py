@@ -94,6 +94,11 @@ def test_eval_loop_dumps_and_metrics(synth_root, tmp_path):
                     f"{side}_grouping.ply"} <= names, (pd, names)
         with open(plys[0]) as f:
             assert f.readline().strip() == "ply"
+        # the interactive HTML viewer rides the same vis export
+        viewer = osp.join(pd, "viewer.html")
+        assert osp.exists(viewer)
+        html = open(viewer).read()
+        assert html.startswith("<!DOCTYPE html>") and "NMS survivors" in html
 
 
 @pytest.mark.slow
