@@ -11,7 +11,6 @@ import numpy as np
 
 from rdmnet_tpu.config import Config
 from rdmnet_tpu.engine.checkpoint import CheckpointManager
-from rdmnet_tpu.engine.train_step import create_train_state
 from rdmnet_tpu.graph.pyramid import build_pair_batch, pad_cloud
 from rdmnet_tpu.models import RDMNet
 
@@ -152,16 +151,14 @@ def build_model_and_params(
         # a mistyped path must ERROR, not silently evaluate random weights
         if not os.path.isdir(snapshot_dir):
             raise FileNotFoundError(f"snapshot_dir not found: {snapshot_dir}")
-        rp, rc = pad_cloud(jnp.asarray(pts), cfg.pyramid.caps[0])
-        # jitted like the random-init path below: eager pyramid construction
-        # pays per-op dispatch latency on remote devices (train_step.py note)
-        example = jax.jit(
-            lambda p, c: build_pair_batch(p, c, p, c, jnp.eye(4), cfg.pyramid)
-        )(rp, rc)
-        state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed), example)
+        # template-free params-only restore: evaluation never needs the
+        # optimizer tree, and a template restore would reject snapshots
+        # whose opt_state shape differs from a fresh one (e.g. the
+        # MultiSteps wrapper --grad_acc training adds) — exactly the
+        # mismatch that broke `rdmnet-test` on a grad_acc-4 run
         mgr = CheckpointManager(snapshot_dir)
-        state, meta = mgr.restore(state, step=epoch)
-        return model, state.params
+        params = mgr.restore_params(step=epoch)
+        return model, params
 
     @jax.jit
     def _init(key):

@@ -84,6 +84,22 @@ class TestCheckpointRoundTrip:
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
         mgr.close()
 
+        # the reverse direction is the eval path: a snapshot saved WITH the
+        # MultiSteps opt_state (grad_acc training) must load through
+        # build_model_and_params, which never builds an optimizer — a
+        # template-full restore here rejected grad_acc-4 run snapshots
+        from rdmnet_tpu.cli.common import build_model_and_params
+
+        mgr2 = CheckpointManager(str(tmp_path / "snap_acc"))
+        mgr2.save(2, jax.device_get(state2), metadata={"epoch": 2})
+        mgr2.wait_until_finished()
+        _, params3 = build_model_and_params(cfg, snapshot_dir=str(tmp_path / "snap_acc"))
+        c = jax.tree.leaves(params3)
+        assert len(a) == len(c)
+        for x, y in zip(a, c):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        mgr2.close()
+
 
 class TestTrainerLoop:
     def test_one_epoch_with_snapshot_and_resume(self, tiny_kitti, tmp_path):
