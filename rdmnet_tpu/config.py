@@ -68,6 +68,12 @@ class PyramidConfig:
     band_caps_fixed: bool = False
     # Query rows per banded chunk (smaller = tighter bands, more dispatch).
     band_chunk: int = 512
+    # Query tiles processed per search-loop iteration (lax.map batch_size):
+    # amortizes per-iteration loop overhead at map_batch x the VMEM
+    # footprint without changing results or the band-calibration contract
+    # (chunk geometry is untouched; tiles are merely executed in batches).
+    # None = one tile per iteration.
+    map_batch: Optional[int] = None
 
     def __post_init__(self):
         assert len(self.caps) == self.num_stages

@@ -230,7 +230,7 @@ def build_cloud_pyramid(
         if band is None or band >= spec.caps[s_lvl]:
             return (
                 radius_knn(pts[q_lvl], pts[s_lvl], cnts[s_lvl], r, k,
-                           approx_recall=recall),
+                           approx_recall=recall, map_batch=spec.map_batch),
                 jnp.int32(0),
             )
         return radius_knn_banded(
@@ -239,6 +239,7 @@ def build_cloud_pyramid(
             chunk_size=spec.band_chunk_for(q_lvl),
             approx_recall=recall,
             return_overflow=True,
+            map_batch=spec.map_batch,
         )
 
     radius = spec.search_radius

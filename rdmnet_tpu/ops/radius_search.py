@@ -68,6 +68,7 @@ def radius_knn(
     k: int,
     chunk_size: int = 2048,
     approx_recall: float | None = None,
+    map_batch: int | None = None,
 ) -> jnp.ndarray:
     """Radius-bounded kNN indices of ``q_points`` into ``s_points``.
 
@@ -79,6 +80,10 @@ def radius_knn(
       radius: search radius.
       k: static neighbor count (columns of the result).
       chunk_size: query rows per tile (VMEM knob).
+      map_batch: process this many query tiles per loop iteration
+        (``lax.map``'s ``batch_size``): amortizes per-iteration loop
+        overhead at ``map_batch``x the VMEM footprint. None = one tile
+        per iteration.
 
     Returns:
       (Q, k) int32 indices into s_points; sentinel ``S`` where missing.
@@ -114,7 +119,7 @@ def radius_knn(
     num_chunks = -(-q // chunk_size)
     padded = jnp.pad(q_points, ((0, num_chunks * chunk_size - q), (0, 0)))
     tiles = padded.reshape(num_chunks, chunk_size, 3)
-    out = jax.lax.map(fn, tiles)
+    out = jax.lax.map(fn, tiles, batch_size=map_batch)
     return out.reshape(num_chunks * chunk_size, k)[:q]
 
 
@@ -144,6 +149,7 @@ def radius_knn_banded(
     approx_recall: float | None = None,
     return_overflow: bool = False,
     q_valid: jnp.ndarray | None = None,
+    map_batch: int | None = None,
 ):
     """Radius-bounded kNN against an x-sorted support, banded per query chunk.
 
@@ -183,6 +189,7 @@ def radius_knn_banded(
       approx_recall: see ``radius_knn``.
       return_overflow: also return () int32 — total support rows that fell
         outside an overflowing band, summed over chunks (0 = exact-band).
+      map_batch: tiles per loop iteration (see ``radius_knn``).
 
     Returns:
       (Q, k) int32 indices into s_points; sentinel ``S`` where missing.
@@ -194,6 +201,7 @@ def radius_knn_banded(
         out = radius_knn(
             q_points, s_points, s_count, radius, k,
             chunk_size=max(chunk_size, 1024), approx_recall=approx_recall,
+            map_batch=map_batch,
         )
         return (out, jnp.int32(0)) if return_overflow else out
     assert k <= band_cap, f"k={k} exceeds band_cap={band_cap}"
@@ -246,6 +254,6 @@ def radius_knn_banded(
         # band-local -> global rows; band sentinel (band_cap) -> global S
         return jnp.where(idx == band_cap, s, w + idx)
 
-    out = jax.lax.map(one, (q_tiles, win))
+    out = jax.lax.map(one, (q_tiles, win), batch_size=map_batch)
     out = out.reshape(num_chunks * chunk_size, k)[:q]
     return (out, overflow.astype(jnp.int32)) if return_overflow else out

@@ -222,6 +222,33 @@ class TestRadiusKnnBanded:
         )
         assert int(overflow) > 0
 
+    def test_map_batch_is_result_invariant(self, rng):
+        """lax.map batch_size is a pure execution knob: identical indices
+        for every batching, banded and unbanded."""
+        cell, radius, k = 0.5, 1.0, 8
+        s = _xsorted_cloud(rng, 600, np.array([40.0, 4.0, 2.0]), cell)
+        q = _xsorted_cloud(rng, 400, np.array([40.0, 4.0, 2.0]), cell)
+        base = np.asarray(radius_knn_banded(
+            jnp.asarray(q), jnp.asarray(s), jnp.int32(600), radius, k,
+            cell=cell, band_cap=256, q_count=jnp.int32(400), chunk_size=64,
+        ))
+        full = np.asarray(radius_knn(
+            jnp.asarray(q), jnp.asarray(s), jnp.int32(600), radius, k,
+            chunk_size=64,
+        ))
+        for mb in (2, 4):
+            banded = np.asarray(radius_knn_banded(
+                jnp.asarray(q), jnp.asarray(s), jnp.int32(600), radius, k,
+                cell=cell, band_cap=256, q_count=jnp.int32(400),
+                chunk_size=64, map_batch=mb,
+            ))
+            np.testing.assert_array_equal(banded, base)
+            unbanded = np.asarray(radius_knn(
+                jnp.asarray(q), jnp.asarray(s), jnp.int32(600), radius, k,
+                chunk_size=64, map_batch=mb,
+            ))
+            np.testing.assert_array_equal(unbanded, full)
+
     def test_falls_back_to_full_when_band_covers(self, rng):
         s = _xsorted_cloud(rng, 100, np.array([10.0, 5.0, 2.0]), 0.5)
         a = np.asarray(radius_knn_banded(
