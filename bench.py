@@ -40,6 +40,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from rdmnet_tpu.cli.common import enable_compile_cache
+    enable_compile_cache()  # warm reruns skip the 20-40 s pipeline compile
+
     from rdmnet_tpu.config import make_cfg
     from rdmnet_tpu.graph.pyramid import build_pair_batch, pad_cloud
     from rdmnet_tpu.models import RDMNet

@@ -15,6 +15,34 @@ from rdmnet_tpu.graph.pyramid import build_pair_batch, pad_cloud
 from rdmnet_tpu.models import RDMNet
 
 
+def enable_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a per-user directory.
+
+    The large-capacity pyramid graphs compile in MINUTES on the remote TPU
+    (measured: 13.7 min for the procedural-scene train step, ~20 min for
+    the eval forward at caps 4480/.../512 — STATUS round-3); the persistent
+    cache turns every rerun at the same shapes into a sub-second load
+    (verified on the axon backend: 1.8 s -> 0.25 s across processes).
+    Every CLI entrypoint calls this before first compile.
+
+    ``RDMNET_COMPILE_CACHE`` overrides the location; ``0``/``off`` disables
+    (the test suite manages its own cache in tests/conftest.py).
+    """
+    loc = os.environ.get("RDMNET_COMPILE_CACHE", "")
+    if loc.strip().lower() in ("0", "off", "none"):
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return  # already configured (conftest, or a caller's explicit choice)
+    path = loc or os.path.join(
+        os.path.expanduser("~"), ".cache", "rdmnet_tpu", "jax_cache"
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything: even "fast" 20-40 s compiles dominate short CLI runs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def add_pyramid_overrides(parser) -> None:
     """Per-dataset static-capacity knobs shared by the train/eval CLIs.
 

@@ -115,6 +115,8 @@ def teaser_np(src, ref):
 
 
 def main():
+    from rdmnet_tpu.cli.common import enable_compile_cache
+    enable_compile_cache()  # minutes-long TPU compiles -> one-time cost
     parser = argparse.ArgumentParser()
     parser.add_argument("--feature_dir", required=True)
     parser.add_argument(

@@ -18,6 +18,8 @@ import numpy as np
 
 
 def main():
+    from rdmnet_tpu.cli.common import enable_compile_cache
+    enable_compile_cache()  # minutes-long TPU compiles -> one-time cost
     parser = argparse.ArgumentParser()
     from rdmnet_tpu.cli.common import add_pyramid_overrides
     add_pyramid_overrides(parser)

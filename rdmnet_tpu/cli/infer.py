@@ -35,6 +35,8 @@ def format_pose_line(ref_frame: int, src_frame: int, est: np.ndarray) -> str:
 
 
 def main():
+    from rdmnet_tpu.cli.common import enable_compile_cache
+    enable_compile_cache()  # minutes-long TPU compiles -> one-time cost
     parser = argparse.ArgumentParser()
     from rdmnet_tpu.cli.common import add_pyramid_overrides
     add_pyramid_overrides(parser)

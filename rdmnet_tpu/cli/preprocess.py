@@ -15,6 +15,8 @@ from rdmnet_tpu.data.preprocess import generate_pairs_for_sequence
 
 
 def main():
+    from rdmnet_tpu.cli.common import enable_compile_cache
+    enable_compile_cache()  # minutes-long TPU compiles -> one-time cost
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -103,6 +103,8 @@ def make_handler(serve_fn, meta):
 
 
 def main():
+    from rdmnet_tpu.cli.common import enable_compile_cache
+    enable_compile_cache()  # minutes-long TPU compiles -> one-time cost
     parser = argparse.ArgumentParser()
     parser.add_argument("--artifact_dir", required=True,
                         help="directory written by rdmnet-export")

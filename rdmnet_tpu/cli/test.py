@@ -35,6 +35,8 @@ from rdmnet_tpu.losses import Evaluator
 
 
 def main():
+    from rdmnet_tpu.cli.common import enable_compile_cache
+    enable_compile_cache()  # minutes-long TPU compiles -> one-time cost
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", default="kitti",
                         choices=["kitti", "kitti360", "apollo", "mulran"])

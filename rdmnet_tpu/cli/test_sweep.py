@@ -22,6 +22,8 @@ import sys
 
 
 def main():
+    from rdmnet_tpu.cli.common import enable_compile_cache
+    enable_compile_cache()  # minutes-long TPU compiles -> one-time cost
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", default="kitti")
     parser.add_argument("--root", required=True)

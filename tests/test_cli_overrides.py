@@ -35,3 +35,35 @@ def test_overrides_apply_and_scale():
     # default (uncalibrated) band caps still scale with the bucket
     dflt = make_cfg().pyramid
     assert dflt.scaled(0.5).band_caps[0] < dflt.band_caps[0]
+
+
+def test_enable_compile_cache_env(monkeypatch, tmp_path):
+    """CLI compile-cache helper: env override, off switch, no clobbering.
+
+    The conftest already configures a cache dir for the suite, so the
+    no-clobber branch is the one every CLI-under-test actually exercises;
+    the override/off branches are checked by temporarily unsetting it."""
+    import jax
+
+    from rdmnet_tpu.cli.common import enable_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # pre-set value (the conftest's) is never clobbered
+        monkeypatch.setenv("RDMNET_COMPILE_CACHE", str(tmp_path / "cc"))
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == prev
+
+        # env override wins when nothing is configured
+        jax.config.update("jax_compilation_cache_dir", None)
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+        assert (tmp_path / "cc").is_dir()
+
+        # off switch leaves the cache unconfigured
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("RDMNET_COMPILE_CACHE", "off")
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
