@@ -146,6 +146,14 @@ def main():
              "that asymmetric-overlap stress regime",
     )
     ap.add_argument(
+        "--seed", type=int, default=7351,
+        help="base RNG seed; per-sequence scene seeds are drawn from it in "
+             "split order, so two roots built with the SAME seed share "
+             "scene geometry sequence-for-sequence (e.g. the mulran-layout "
+             "test scenes reuse the kitti-layout train-scene draws) — pass "
+             "a different seed to guarantee disjoint scenes across roots",
+    )
+    ap.add_argument(
         "--scan", nargs="+",
         default=[
             "/root/reference/assets/pc/000000.npy",
@@ -159,7 +167,7 @@ def main():
     args = ap.parse_args()
 
     schema = SCHEMAS[args.layout]
-    rng = np.random.RandomState(7351)
+    rng = np.random.RandomState(args.seed)
 
     if args.procedural:
         intensity = args.layout != "mulran"
