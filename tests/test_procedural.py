@@ -113,6 +113,27 @@ def test_procedural_cli_kitti_layout(tmp_path):
     assert a.shape != b.shape or not np.allclose(a, b)
 
 
+def test_procedural_cli_seed_controls_scene_identity(tmp_path):
+    """--seed reproduces a root bit-for-bit and a DIFFERENT seed yields
+    disjoint scene geometry — the guarantee run_fov_finetune.sh relies on
+    so its fine-tuning scenes never coincide with the stress scenes (which
+    reuse the default-seed draw order)."""
+    roots = {}
+    for name, seed in (("a", "7351"), ("a2", "7351"), ("b", "1234")):
+        root = tmp_path / name
+        subprocess.run(
+            [sys.executable, SCRIPT, "--out", str(root), "--procedural", "1",
+             "--frames", "2", "--val_frames", "2", "--test_frames", "2",
+             "--seed", seed, "--rings", "16", "--azimuths", "256"],
+            check=True,
+        )
+        roots[name] = np.load(str(root / "downsampled_xyzi" / "00" /
+                                  "000000.npy"))
+    np.testing.assert_array_equal(roots["a"], roots["a2"])
+    assert (roots["a"].shape != roots["b"].shape
+            or not np.allclose(roots["a"], roots["b"]))
+
+
 @pytest.mark.parametrize("layout", ["mulran"])
 def test_procedural_cli_eval_layout(tmp_path, layout):
     from rdmnet_tpu.data.datasets import RegistrationPairDataset
