@@ -40,7 +40,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", default="kitti",
                         choices=["kitti", "kitti360", "apollo", "mulran"])
-    parser.add_argument("--root", required=True)
+    parser.add_argument("--root", required=True,
+                        help="dataset root; a comma-separated list "
+                        "concatenates same-schema roots (e.g. joint "
+                        "full-360 + FOV-cropped training)")
     parser.add_argument("--snapshot_dir", default=None)
     parser.add_argument("--test_epoch", type=int, default=None)
     parser.add_argument("--feature_dir", default=None)

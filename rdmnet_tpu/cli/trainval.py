@@ -29,7 +29,10 @@ def main():
     enable_compile_cache()  # minutes-long TPU compiles -> one-time cost
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", default="kitti")
-    parser.add_argument("--root", required=True)
+    parser.add_argument("--root", required=True,
+                        help="dataset root; a comma-separated list "
+                        "concatenates same-schema roots (e.g. joint "
+                        "full-360 + FOV-cropped training)")
     parser.add_argument("--output_dir", default="output/rdmnet_tpu")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--max_epoch", type=int, default=None)

@@ -104,6 +104,13 @@ class RegistrationPairDataset:
 
     Matches the reference per-item behavior (kitti/dataset.py:108-191):
     random point_limit subsample, optional augmentation.
+
+    Beyond the reference: ``root`` may be a comma-separated list of roots
+    (same on-disk schema), concatenated into one dataset — e.g. joint
+    training over full-360 and FOV-cropped procedural regimes. With more
+    than one root, ``seq_id`` is disambiguated as ``"<i>.<seq>"`` (root
+    index prefix) so feature-dump names and trajectory grouping stay
+    collision-free; cloud paths are resolved eagerly per root.
     """
 
     def __init__(
@@ -123,7 +130,6 @@ class RegistrationPairDataset:
     ):
         self.dataset = dataset
         self.schema = SCHEMAS[dataset]
-        self.root = root
         self.subset = subset
         self.point_limit = point_limit
         self.use_augmentation = use_augmentation
@@ -136,7 +142,21 @@ class RegistrationPairDataset:
         )
         self.rng = np.random.RandomState(seed)
         self.demo_asset_dir = demo_asset_dir
-        self.metadata = make_dataset(dataset, root, subset)
+        roots = [r for r in str(root).split(",") if r]
+        self.root = roots[0]
+        if subset == "infer" or len(roots) == 1:
+            self.metadata = make_dataset(dataset, self.root, subset)
+        else:
+            self.metadata = []
+            for i, r in enumerate(roots):
+                for meta in make_dataset(dataset, r, subset):
+                    seq, f0, f1 = meta["seq_id"], meta["frame0"], meta["frame1"]
+                    meta["ref_path"] = osp.join(
+                        r, self.schema.cloud_path.format(seq=seq, frame=f0))
+                    meta["src_path"] = osp.join(
+                        r, self.schema.cloud_path.format(seq=seq, frame=f1))
+                    meta["seq_id"] = f"{i}.{seq}"
+                    self.metadata.append(meta)
 
     def __len__(self):
         return len(self.metadata)
@@ -156,8 +176,10 @@ class RegistrationPairDataset:
 
     def __getitem__(self, index: int) -> dict:
         meta = self.metadata[index]
-        ref_points = self._load_point_cloud(self._cloud_path(meta["seq_id"], meta["frame0"]))
-        src_points = self._load_point_cloud(self._cloud_path(meta["seq_id"], meta["frame1"]))
+        ref_points = self._load_point_cloud(
+            meta.get("ref_path") or self._cloud_path(meta["seq_id"], meta["frame0"]))
+        src_points = self._load_point_cloud(
+            meta.get("src_path") or self._cloud_path(meta["seq_id"], meta["frame1"]))
         transform = meta["transform"].astype(np.float32)
 
         if self.use_augmentation:

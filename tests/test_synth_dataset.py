@@ -46,6 +46,44 @@ def test_splits_load_with_rigid_gt(synth_root, subset, n_pairs):
         assert err < 0.12, (subset, i, err)
 
 
+def test_multi_root_concatenation(synth_root, tmp_path_factory):
+    """root='A,B' concatenates same-schema roots: lengths add, every item
+    loads with rigid-consistent GT, and seq_ids gain a root-index prefix so
+    feature-dump names / trajectory grouping cannot collide across roots."""
+    tmp = tmp_path_factory.mktemp("synth_b")
+    scan = tmp / "scan.npy"
+    rng = np.random.RandomState(9)
+    np.save(scan, (rng.rand(1500, 4) * 30).astype(np.float32))
+    root_b = tmp / "root_b"
+    subprocess.run(
+        [sys.executable, SCRIPT, "--out", str(root_b), "--frames", "3",
+         "--scan", str(scan)],
+        check=True,
+    )
+    ds_a = RegistrationPairDataset("kitti", synth_root, "train",
+                                   use_augmentation=False)
+    ds_b = RegistrationPairDataset("kitti", str(root_b), "train",
+                                   use_augmentation=False)
+    ds = RegistrationPairDataset("kitti", f"{synth_root},{root_b}", "train",
+                                 use_augmentation=False)
+    assert len(ds) == len(ds_a) + len(ds_b)
+    seq_ids = {item["seq_id"] for item in (ds[i] for i in range(len(ds)))}
+    assert all(str(s).startswith(("0.", "1.")) for s in seq_ids)
+    assert any(str(s).startswith("0.") for s in seq_ids)
+    assert any(str(s).startswith("1.") for s in seq_ids)
+    # items from the second root are root_b's clouds, not root_a's
+    first_b = next(ds[i] for i in range(len(ds))
+                   if str(ds.metadata[i]["seq_id"]).startswith("1."))
+    np.testing.assert_allclose(first_b["ref_points"], ds_b[0]["ref_points"])
+    for i in (0, len(ds) - 1):
+        item = ds[i]
+        err = np.abs(
+            apply_transform(item["src_points"], item["transform"])
+            - item["ref_points"]
+        ).max()
+        assert err < 0.12, (i, err)
+
+
 @pytest.mark.slow
 def test_eval_loop_dumps_and_metrics(synth_root, tmp_path):
     """cli/test.run_eval_loop: pipelined forward + pooled npz writes produce
