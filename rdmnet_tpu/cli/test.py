@@ -86,6 +86,13 @@ def main():
              "--bucket_scale",
     )
     parser.add_argument(
+        "--use_vote", default="auto", choices=["auto", "on", "off"],
+        help="vote branch at inference: auto follows the reference quirk "
+             "(disabled for --dataset mulran, reference test.py:107-108); "
+             "on/off override it — e.g. to isolate the quirk's effect on "
+             "FOV-cropped data",
+    )
+    parser.add_argument(
         "--vis", action="store_true",
         help="per-pair PLY visualization exports under <feature_dir>/vis "
              "(clouds + green/red correspondence lines — the headless "
@@ -114,7 +121,9 @@ def main():
             f"limits; for {args.dataset} run `preprocess calibrate` "
             f"and set PyramidConfig.neighbor_limits accordingly"
         )
-    if args.dataset == "mulran":
+    vote_on = (args.dataset != "mulran") if args.use_vote == "auto" \
+        else (args.use_vote == "on")
+    if not vote_on:
         # vote disabled at inference for MulRan (reference test.py:107-108)
         cfg = cfg.replace(vote=dataclasses.replace(cfg.vote, inference_use_vote=False))
     cfgs = None

@@ -237,3 +237,25 @@ def test_mulran_fov_stress_end_to_end(tmp_path):
     )
     assert ev.returncode == 0, ev.stderr[-2000:]
     assert "RR:" in ev.stdout
+
+    # --use_vote on overrides the MulRan quirk (the isolation knob for
+    # quantifying the vote-off effect on FOV data): the matcher's node set
+    # becomes the NMS-selected SHIFTED nodes instead of the raw coarse nodes
+    voteon_dir = tmp_path / "features_voteon"
+    res = subprocess.run(
+        [sys.executable, "-m", "rdmnet_tpu.cli.test",
+         "--dataset", "mulran", "--root", str(root),
+         "--feature_dir", str(voteon_dir),
+         "--platform", "cpu", "--cfg_preset", "tiny",
+         "--caps", "2048,1280,768,384,192", "--no_compress",
+         "--use_vote", "on"],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-4000:]
+    name = osp.basename(dumps[0])
+    off_nodes = np.load(dumps[0])["ref_points_c"]
+    on_nodes = np.load(str(voteon_dir / name))["ref_points_c"]
+    # vote shifts node positions (and NMS may suppress some): the two node
+    # sets must differ; with auto/off they are the raw level-4 coarse nodes
+    assert (off_nodes.shape != on_nodes.shape
+            or not np.allclose(off_nodes, on_nodes))
