@@ -58,6 +58,51 @@ def test_dp8_grads_match_single_device():
 
 
 @pytest.mark.slow
+def test_unified_2d_mesh_dp_sp():
+    """ONE 2-D (dp x sp) mesh serves both regimes: the train
+    value-and-grad with the batch sharded over 'dp' (sp-replicated), and
+    the sp-sharded search with queries sharded over 'sp' (dp-replicated) —
+    the composed pod-slice layout validated by dryrun_multichip, pinned
+    here against the single-device results at tiny scale."""
+    from rdmnet_tpu.engine.train_step import make_value_and_grad
+    from rdmnet_tpu.ops import radius_knn
+    from rdmnet_tpu.parallel.sharded_search import sharded_radius_knn
+
+    assert len(jax.devices()) >= 8
+    cfg = make_tiny_cfg()
+    batch = make_batch(cfg, None, bsz=4, n=250)
+    single = jax.tree.map(lambda x: x[0], batch)
+    state = create_train_state(
+        cfg, jax.random.PRNGKey(0), single, steps_per_epoch=10
+    )
+    vag = make_value_and_grad(cfg)
+    key = jax.random.PRNGKey(1)
+    ref_metrics, _ = vag(state, batch, key)
+
+    mesh2 = jax.sharding.Mesh(
+        np.array(jax.devices()[:8]).reshape(4, 2), ("dp", "sp")
+    )
+    with mesh2:
+        dp_metrics, _ = vag(
+            replicate_to_mesh(state, mesh2), shard_batch(batch, mesh2), key
+        )
+        pts = single.ref.points[0]
+        cnt = single.ref.counts[0]
+        want = radius_knn(
+            pts, pts, cnt, cfg.pyramid.search_radius,
+            cfg.pyramid.neighbor_limits[0],
+        )
+        got = sharded_radius_knn(
+            pts, pts, cnt, cfg.pyramid.search_radius,
+            cfg.pyramid.neighbor_limits[0], mesh=mesh2, q_count=cnt,
+        )
+    np.testing.assert_allclose(
+        float(dp_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
+    )
+    assert float(jnp.mean((got == want).astype(jnp.float32))) > 0.99
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     """The driver-facing entry must complete under the test env (which
     already provides the 8-device CPU mesh it would otherwise force)."""
