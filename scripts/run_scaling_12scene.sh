@@ -1,0 +1,83 @@
+#!/usr/bin/env bash
+# Data-scaling experiment: does scene diversity improve held-out-scene
+# accuracy at a FIXED optimizer-step budget?
+#
+# The proven 6-scene/144-pair curriculum (run_procedural_generalization.sh:
+# phase A 30 epochs + phase B 60 epochs = ~4.3k + 8.6k steps) is re-run on
+# 12 scenes x 49 pairs = 588 train pairs via multi-root concatenation
+# (/tmp/rdmnet_proc_big seed-7351 train scenes + a DISJOINT seed-4242 root),
+# with epochs scaled down (A=8, B=15) so the total step count matches the
+# 144-pair run — any metric movement is then attributable to data
+# diversity, not extra compute.
+#
+# Held-out-scene protocol is preserved: seed-7351 draws are shared between
+# proc_big and the r3 root (same RandomState order), so proc_big trains on
+# the SAME scenes 0-5 while the r3 test split (scenes 8-10) stays unseen;
+# the seed-4242 scenes are disjoint from both by construction. Eval covers
+# the r3 test split AND the fresh-seed roots (999/1000) used for the
+# 6-scene evidence, so the scaling comparison is apples-to-apples.
+#
+# Usage: bash scripts/run_scaling_12scene.sh [WORKDIR] [EPOCHS_A] [EPOCHS_B]
+set -euo pipefail
+
+WORK=${1:-/tmp/rdmnet_scale12}
+EPOCHS_A=${2:-8}
+EPOCHS_B=${3:-15}
+ROOT_A=/tmp/rdmnet_proc_big/data     # 6 scenes x 49 pairs (seed 7351)
+ROOT_B=/tmp/rdmnet_proc_4242/data    # 6 scenes x 49 pairs (seed 4242)
+EVAL_ROOT=/tmp/rdmnet_proc_r3/data   # test split: held-out scenes 08-10
+RUN_A="$WORK/run_bootstrap"
+RUN_B="$WORK/run_aug"
+
+for d in "$ROOT_A" "$ROOT_B" "$EVAL_ROOT"; do
+    [ -d "$d" ] || { echo "missing root $d (see script header)"; exit 1; }
+done
+
+CAL=$(python -m rdmnet_tpu.cli.preprocess calibrate --root "$ROOT_A,$ROOT_B" | tail -1)
+echo "calibrated: $CAL"
+
+# phase A: no-aug bootstrap from random init (same recipe, 4x data)
+if [ ! -d "$RUN_A/snapshots_best" ]; then
+    python -m rdmnet_tpu.cli.trainval --root "$ROOT_A,$ROOT_B" \
+        --output_dir "$RUN_A" \
+        --max_epoch "$EPOCHS_A" --lr 5e-4 --no_augmentation --bucket_scale 0.7 \
+        --scheduler warmup_cosine --warmup_steps 200 \
+        --keep_snapshots 3 --log_steps 100 $CAL
+fi
+
+# phase B: warm start, rotation-only augmentation, effective batch 4
+python -m rdmnet_tpu.cli.trainval --root "$ROOT_A,$ROOT_B" \
+    --output_dir "$RUN_B" --init_from "$RUN_A/snapshots_best" \
+    --max_epoch "$EPOCHS_B" --lr 2e-4 --bucket_scale 0.7 \
+    --augmentation_rotation 12 --augmentation_scale 1,1 \
+    --augmentation_shift 0 --grad_acc 4 \
+    --scheduler warmup_cosine --warmup_steps 100 \
+    --keep_snapshots 3 --log_steps 100 $CAL
+
+# eval 1: the r3 held-out-scene test split (6-scene baseline: RR 100%,
+# RRE 0.184 deg, RTE 4.84 cm)
+python -m rdmnet_tpu.cli.test --dataset kitti --root "$EVAL_ROOT" \
+    --snapshot_dir "$RUN_B/snapshots_best" --feature_dir "$WORK/features_r3" \
+    --bucket_scale 0.7 $CAL
+echo "== eval: r3 held-out scenes =="
+python -m rdmnet_tpu.cli.eval --feature_dir "$WORK/features_r3" --method lgr
+
+# eval 2: the SAME fresh-seed pairs used for the 6-scene evidence
+# (run_fresh_scene_eval.sh roots: 3 test scenes x 10 pairs per seed;
+# 6-scene baseline: RR 100%, RRE ~0.17 deg, RTE ~5.4 cm), under THIS
+# model's deployed calibration
+for SEED in 999 1000; do
+    FRESH=/tmp/rdmnet_fresh_eval/data_seed$SEED
+    if [ ! -d "$FRESH" ]; then
+        python scripts/make_synth_kitti.py --out "$FRESH" --procedural 6 \
+            --frames 2 --val_frames 2 --test_frames 11 --seed "$SEED"
+    fi
+    python -m rdmnet_tpu.cli.test --dataset kitti --root "$FRESH" \
+        --snapshot_dir "$RUN_B/snapshots_best" \
+        --feature_dir "$WORK/features_fresh_$SEED" \
+        --bucket_scale 0.7 $CAL
+    echo "== eval: fresh scenes seed $SEED =="
+    python -m rdmnet_tpu.cli.eval --feature_dir "$WORK/features_fresh_$SEED" --method lgr
+done
+
+echo "12-scene scaling artifacts under $WORK"
