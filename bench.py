@@ -101,6 +101,44 @@ def main():
         thr_dt = (time.perf_counter() - t0) / iters
     pairs_per_sec = 1.0 / thr_dt
 
+    # --- training throughput (informational): the FULL train pipeline ------
+    # graph build + forward + all 7 loss terms + backward + Adam in one
+    # jitted chain; state threads through iterations, which is the honest
+    # serialization (training steps are inherently sequential). Best-effort:
+    # skipped (keys absent) if anything fails, so the headline still prints.
+    train_pairs_per_sec = None
+    import os
+    if os.environ.get("RDMNET_BENCH_TRAIN", "1") != "0":
+        try:
+            from rdmnet_tpu.engine import create_train_state, make_train_step
+
+            batch0 = jax.jit(
+                lambda: build_pair_batch(rp, rc, sp, sc, eye, cfg.pyramid)
+            )()
+            state = create_train_state(
+                cfg, jax.random.PRNGKey(1), batch0, steps_per_epoch=100
+            )
+            inner = make_train_step(cfg)
+
+            @jax.jit
+            def train_pipeline(state, rp, key):
+                b = build_pair_batch(rp, rc, sp, sc, eye, cfg.pyramid)
+                b = jax.tree.map(lambda x: x[None], b)
+                return inner(state, b, key)
+
+            key = jax.random.PRNGKey(2)
+            state, m = train_pipeline(state, rp, key)
+            _ = np.asarray(m["loss"])  # compile + warm-up barrier
+            tr_iters = 10
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for i in range(tr_iters):
+                    state, m = train_pipeline(state, variants[i], key)
+                _ = np.asarray(m["loss"])
+                train_pairs_per_sec = tr_iters / (time.perf_counter() - t0)
+        except Exception:
+            train_pairs_per_sec = None
+
     # --- single-pair latency: chained dependency, no overlap ---------------
     lat_iters = 20
     lat_dt = None
@@ -128,6 +166,11 @@ def main():
                 ),
                 "latency_ms": round(lat_dt * 1e3, 2),
                 "serialized_pairs_per_sec": round(1.0 / lat_dt, 4),
+                **(
+                    {"train_pairs_per_sec": round(train_pairs_per_sec, 4)}
+                    if train_pairs_per_sec
+                    else {}
+                ),
             }
         )
     )
