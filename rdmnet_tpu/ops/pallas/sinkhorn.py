@@ -41,6 +41,21 @@ def _sinkhorn_kernel(scores_ref, log_mu_ref, log_nu_ref, out_ref, *, num_iterati
     out_ref[:] = s + u[:, :, None] + v[:, None, :]
 
 
+def _choose_block(p: int, block_patches: int) -> tuple[int, int]:
+    """Pick a Mosaic-legal patch-block size and the needed leading pad.
+
+    The TPU lowering requires each block dim among the last two to be
+    divisible by the sublane count (8) OR equal to the overall array dim.
+    The (bp, K1) marginal blocks put bp in sublane position, so any
+    multi-block grid needs bp % 8 == 0; a single block (bp == padded P)
+    is legal at any size. Verified on chip by scripts/tpu_smoke.py.
+    """
+    bp = min(block_patches, p)
+    if bp < p and bp % 8:
+        bp = min(p, -(-bp // 8) * 8)  # round up to a sublane multiple
+    return bp, (-p) % bp
+
+
 def sinkhorn_pallas(
     scores: jnp.ndarray,     # (P, K1, K1) padded scores (masked entries -inf)
     log_mu: jnp.ndarray,     # (P, K1)
@@ -50,9 +65,7 @@ def sinkhorn_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     p, k1, _ = scores.shape
-    bp = min(block_patches, p)
-    # pad P to a multiple of bp
-    pad = (-p) % bp
+    bp, pad = _choose_block(p, block_patches)
     if pad:
         scores = jnp.pad(scores, ((0, pad), (0, 0), (0, 0)))
         log_mu = jnp.pad(log_mu, ((0, pad), (0, 0)))

@@ -5,8 +5,11 @@ Round-2 shipped a bug exactly in this gap: the pallas exact-kNN ran its
 distance matmul on the bf16 MXU pass, violating its exact-top-k contract —
 found by hand on the chip. This script mechanizes that class of check:
 
-  1. pallas exact-kNN (compiled TPU lowering) == the jnp exact search,
-     bit-for-bit (indices AND order) on a real bundled scan;
+  1. BOTH exact kNN paths (jnp top_k and the compiled pallas lowering)
+     return a valid exact in-radius top-k of the TRUE f64 distances on a
+     real bundled scan, up to an f32-rounding tie tolerance (bit-identity
+     ACROSS the two paths is not a sound contract: their expanded-form
+     f32 rounding differs, and differs across toolchain releases);
   2. pallas fused Sinkhorn (VMEM kernel) == the lax.scan path;
   3. approx (banded + approx_max_k) search recall vs exact >= the
      configured target on a real scan;
@@ -44,6 +47,10 @@ def main():
     if args.interpret:
         jax.config.update("jax_platforms", "cpu")
 
+    from rdmnet_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()  # warm reruns skip ~4 min of pipeline compiles
+
     import jax.numpy as jnp
 
     print(f"devices: {jax.devices()}")
@@ -51,13 +58,22 @@ def main():
     interp = {"interpret": True} if args.interpret else {}
 
     def check(name, ok, detail=""):
-        print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}")
+        print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}", flush=True)
         if not ok:
             failures.append(name)
 
     scan = np.load("/root/reference/assets/pc/000000.npy")[:, :3].astype(np.float32)
 
-    # ---- 1. pallas exact-kNN == jnp exact search (the r2 bug class) ------
+    # ---- 1. exact-kNN contract vs an f64 oracle (the r2 bug class) -------
+    # Both exact paths (jnp top_k and the pallas kernel) compute f32
+    # distances in the expanded q2-2qs+s2 form; their last-ulp rounding
+    # differs (and differs across toolchain releases — the 2026-08 update
+    # changed HIGHEST-matmul rounding enough to reorder ~0.02% of pairs),
+    # so bit-identity ACROSS paths is not a sound contract. The contract
+    # that catches the r2 bug class (bf16 MXU pass = ~1e-2 relative error,
+    # 4 orders of magnitude above f32 rounding) is: each path's result is
+    # a valid exact in-radius top-k of the TRUE (f64) distances up to an
+    # f32-rounding tie tolerance.
     from rdmnet_tpu.ops.pallas.radius_knn import radius_knn_pallas
     from rdmnet_tpu.ops.radius_search import radius_knn
 
@@ -71,18 +87,59 @@ def main():
     got = np.asarray(jax.jit(
         lambda q, s: radius_knn_pallas(q, s, s_count, radius, k, **interp)
     )(q, s))
-    check("pallas exact-kNN == jnp exact (indices+order)",
-          bool(np.array_equal(got, want)),
-          f"mismatched rows: {(got != want).any(axis=1).sum()}/{len(got)}")
+
+    d64 = ((scan[:2048, None, :].astype(np.float64)
+            - scan[None, :4096, :].astype(np.float64)) ** 2).sum(-1)
+    d64[:, 4000:] = np.inf  # invalid support rows
+    r2 = float(radius) ** 2
+    # expanded-form f32 rounding scale: eps32 * (q2 + 2|qs| + s2) ~ 1e-3
+    # at these coordinates (|p| up to ~40 m); observed cross-path flips
+    # are ~2e-4
+    tol = 1e-3
+
+    def knn_violations(res, cap):
+        bad = 0
+        for r in range(res.shape[0]):
+            idx = res[r][res[r] < 4000]  # drop sentinels (cap or s_count)
+            dr = d64[r, idx]
+            ok = np.all(np.diff(dr) >= -tol)          # ascending (ties ok)
+            ok &= bool(np.all(dr <= r2 + tol))        # in radius
+            sure_in = int((d64[r] <= r2 - tol).sum()) # count can only vary
+            may_in = int((d64[r] <= r2 + tol).sum())  # at the boundary
+            ok &= min(k, sure_in) <= len(idx) <= min(k, may_in)
+            if len(idx):                               # the k nearest, up to ties
+                osort = np.sort(d64[r][d64[r] <= r2 + tol])[: len(idx)]
+                ok &= bool(np.all(np.abs(np.sort(dr) - osort) <= tol))
+            bad += not ok
+        return bad
+
+    bad_jnp = knn_violations(want, 4000)
+    bad_pal = knn_violations(got, 4096)
+    check("jnp exact kNN matches f64 oracle (tie-tol)", bad_jnp == 0,
+          f"violating rows: {bad_jnp}/{len(want)}")
+    check("pallas exact kNN matches f64 oracle (tie-tol)", bad_pal == 0,
+          f"violating rows: {bad_pal}/{len(got)}")
+    # cross-path neighbor SETS must agree wherever no f64 tie is in play
+    # (cheap canary for gross divergence between the two implementations)
+    setdiff = sum(
+        set(want[r][want[r] < 4000].tolist())
+        != set(got[r][got[r] < 4000].tolist())
+        for r in range(want.shape[0])
+    )
+    check("jnp vs pallas kNN sets agree on >=99% of rows",
+          setdiff <= len(want) // 100, f"set-differing rows: {setdiff}")
 
     # ---- 2. pallas fused Sinkhorn == lax.scan path -----------------------
     from rdmnet_tpu.nn.sinkhorn import log_sinkhorn
     from rdmnet_tpu.ops.pallas.sinkhorn import sinkhorn_pallas
 
+    # P=20 with block_patches=4 drives the block-choice rounding path
+    # (4 -> 8 sublane multiple) AND a multi-block grid with a padded tail —
+    # the exact lowering case Mosaic rejected before _choose_block existed.
     rng = np.random.RandomState(0)
-    scores = jnp.asarray(rng.randn(8, 33, 33).astype(np.float32))
-    log_mu = jnp.asarray(rng.randn(8, 33).astype(np.float32) * 0.1)
-    log_nu = jnp.asarray(rng.randn(8, 33).astype(np.float32) * 0.1)
+    scores = jnp.asarray(rng.randn(20, 33, 33).astype(np.float32))
+    log_mu = jnp.asarray(rng.randn(20, 33).astype(np.float32) * 0.1)
+    log_nu = jnp.asarray(rng.randn(20, 33).astype(np.float32) * 0.1)
     a = np.asarray(jax.jit(lambda s, m, n: log_sinkhorn(s, m, n, 30))(
         scores, log_mu, log_nu))
     b = np.asarray(jax.jit(

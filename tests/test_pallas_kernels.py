@@ -22,6 +22,25 @@ class TestSinkhornPallas:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_block_choice_is_mosaic_legal(self):
+        """The (bp, K1) marginal blocks put bp in Mosaic's sublane slot:
+        any multi-block grid needs bp % 8 == 0, a single block needs
+        bp == padded P. Caught on chip by scripts/tpu_smoke.py (r3): the
+        old min(block_patches, p) choice produced block (4, 33) over array
+        (8, 33), which the TPU lowering rejects."""
+        from rdmnet_tpu.ops.pallas.sinkhorn import _choose_block
+
+        for p in range(1, 41):
+            for req in (1, 2, 3, 4, 7, 8, 12, 16, 64):
+                bp, pad = _choose_block(p, req)
+                padded = p + pad
+                assert padded % bp == 0
+                assert bp == padded or bp % 8 == 0, (p, req, bp, pad)
+        # the exact shape that failed on chip
+        assert _choose_block(8, 4) == (8, 0)
+        # rounding keeps multi-block grids when P allows it
+        assert _choose_block(20, 4) == (8, 4)
+
     def test_module_pallas_path_matches(self, rng):
         model = LearnableLogOptimalTransport(num_iterations=25)
         scores = jnp.asarray(rng.randn(4, 8, 8).astype(np.float32))
