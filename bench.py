@@ -4,7 +4,7 @@ Two numbers are measured over the bundled KITTI demo pair at production
 capacity buckets; the ENTIRE job runs on device in one jitted program:
 pyramid/graph construction (which the reference does on CPU in DataLoader
 workers), KPConv backbone, two transformer stages, vote+NMS, Sinkhorn OT,
-and local-to-global registration with SVD.
+and local-to-global registration with Horn's quaternion pose solver.
 
 1. **Sustained throughput** (the headline `value`): many INDEPENDENT pairs
    in flight — each dispatch carries a distinct input and nothing chains on
@@ -105,7 +105,9 @@ def main():
     # graph build + forward + all 7 loss terms + backward + Adam in one
     # jitted chain; state threads through iterations, which is the honest
     # serialization (training steps are inherently sequential). Best-effort:
-    # skipped (keys absent) if anything fails, so the headline still prints.
+    # on failure the headline still prints, but the exception is LOGGED to
+    # stderr (and fatal under RDMNET_BENCH_STRICT=1) so a broken training
+    # path cannot hide behind a green bench line.
     train_pairs_per_sec = None
     import os
     if os.environ.get("RDMNET_BENCH_TRAIN", "1") != "0":
@@ -137,6 +139,13 @@ def main():
                 _ = np.asarray(m["loss"])
                 train_pairs_per_sec = tr_iters / (time.perf_counter() - t0)
         except Exception:
+            import sys
+            import traceback
+
+            print("bench: training-path measurement FAILED:", file=sys.stderr)
+            traceback.print_exc()
+            if os.environ.get("RDMNET_BENCH_STRICT", "0") == "1":
+                raise
             train_pairs_per_sec = None
 
     # --- single-pair latency: chained dependency, no overlap ---------------

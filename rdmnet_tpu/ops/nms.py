@@ -4,8 +4,11 @@ Reimplements the reference's order-dependent greedy NMS
 (reference: rdmnet/vote/vote.py:6-40): walk nodes in index order, keep node i
 iff no already-kept node lies within ``radius``. The reference runs a Python
 loop over a CPU kd-tree result; here the (M, M) adjacency is computed on the
-MXU and the (inherently sequential) greedy scan is a lax.fori_loop of M
-cheap (M,)-vector steps — M is the coarse node count (~hundreds).
+MXU and the greedy scan runs as PARALLEL PEELING: a lax.while_loop whose each
+iteration accepts, in one (M,)-vector step, EVERY node that is a lexicographic
+local minimum among undecided neighbors (provably the greedy result, usually
+~a dozen peels instead of M sequential steps) — M is the coarse node count
+(~hundreds).
 """
 
 from __future__ import annotations

@@ -77,9 +77,10 @@ def main():
     from rdmnet_tpu.ops.pallas.radius_knn import radius_knn_pallas
     from rdmnet_tpu.ops.radius_search import radius_knn
 
-    q = jnp.asarray(scan[:2048])
-    s = jnp.asarray(scan[:4096])
-    s_count = jnp.int32(4000)
+    N_Q, S_CAP, S_COUNT = 2048, 4096, 4000
+    q = jnp.asarray(scan[:N_Q])
+    s = jnp.asarray(scan[:S_CAP])
+    s_count = jnp.int32(S_COUNT)
     radius, k = 4.8, 32
     want = np.asarray(jax.jit(
         lambda q, s: radius_knn(q, s, s_count, radius, k, approx_recall=None)
@@ -88,21 +89,32 @@ def main():
         lambda q, s: radius_knn_pallas(q, s, s_count, radius, k, **interp)
     )(q, s))
 
-    d64 = ((scan[:2048, None, :].astype(np.float64)
-            - scan[None, :4096, :].astype(np.float64)) ** 2).sum(-1)
-    d64[:, 4000:] = np.inf  # invalid support rows
+    d64 = ((scan[:N_Q, None, :].astype(np.float64)
+            - scan[None, :S_CAP, :].astype(np.float64)) ** 2).sum(-1)
+    d64[:, S_COUNT:] = np.inf  # invalid support rows
     r2 = float(radius) ** 2
     # expanded-form f32 rounding scale: eps32 * (q2 + 2|qs| + s2) ~ 1e-3
     # at these coordinates (|p| up to ~40 m); observed cross-path flips
     # are ~2e-4
     tol = 1e-3
 
-    def knn_violations(res, cap):
+    def knn_violations(res, sentinel):
+        """Count rows violating the exact in-radius top-k contract.
+
+        ``sentinel`` is the path's missing-neighbor fill value (both paths
+        use the framework convention: index == padded support capacity,
+        ops/radius_search.py:11). Any raw entry that is neither a VALID
+        support index (< s_count) nor the sentinel — e.g. an invalid-support
+        index in [s_count, cap) — is itself a violation, not silently
+        dropped.
+        """
         bad = 0
         for r in range(res.shape[0]):
-            idx = res[r][res[r] < 4000]  # drop sentinels (cap or s_count)
+            raw = res[r]
+            ok = bool(np.all((raw == sentinel) | ((raw >= 0) & (raw < S_COUNT))))
+            idx = raw[(raw >= 0) & (raw < S_COUNT)]
             dr = d64[r, idx]
-            ok = np.all(np.diff(dr) >= -tol)          # ascending (ties ok)
+            ok &= bool(np.all(np.diff(dr) >= -tol))   # ascending (ties ok)
             ok &= bool(np.all(dr <= r2 + tol))        # in radius
             sure_in = int((d64[r] <= r2 - tol).sum()) # count can only vary
             may_in = int((d64[r] <= r2 + tol).sum())  # at the boundary
@@ -113,8 +125,8 @@ def main():
             bad += not ok
         return bad
 
-    bad_jnp = knn_violations(want, 4000)
-    bad_pal = knn_violations(got, 4096)
+    bad_jnp = knn_violations(want, S_CAP)
+    bad_pal = knn_violations(got, S_CAP)
     check("jnp exact kNN matches f64 oracle (tie-tol)", bad_jnp == 0,
           f"violating rows: {bad_jnp}/{len(want)}")
     check("pallas exact kNN matches f64 oracle (tie-tol)", bad_pal == 0,
@@ -122,8 +134,8 @@ def main():
     # cross-path neighbor SETS must agree wherever no f64 tie is in play
     # (cheap canary for gross divergence between the two implementations)
     setdiff = sum(
-        set(want[r][want[r] < 4000].tolist())
-        != set(got[r][got[r] < 4000].tolist())
+        set(want[r][want[r] < S_COUNT].tolist())
+        != set(got[r][got[r] < S_COUNT].tolist())
         for r in range(want.shape[0])
     )
     check("jnp vs pallas kNN sets agree on >=99% of rows",
