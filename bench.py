@@ -161,6 +161,20 @@ def main():
         _ = np.asarray(tf)
         lat_dt = (time.perf_counter() - t0) / lat_iters
 
+    # --- on-chip kernel/precision contracts (after the timing loops) -------
+    # the fast subset of scripts/tpu_smoke.py, mechanized so every driver
+    # bench run re-asserts the pallas lowerings + pose-path precision on the
+    # real chip and the result lands in the recorded JSON (VERDICT r3 #5)
+    from rdmnet_tpu.utils.contracts import run_fast_contracts
+
+    contract_results = run_fast_contracts()
+    contract_failures = {k: v for k, v in contract_results.items() if v != "pass"}
+    contracts = (
+        "pass"
+        if not contract_failures
+        else "; ".join(f"{k}: {v}" for k, v in contract_failures.items())
+    )
+
     print(
         json.dumps(
             {
@@ -180,9 +194,13 @@ def main():
                     if train_pairs_per_sec
                     else {}
                 ),
+                "contracts": contracts,
             }
         )
     )
+    if contract_failures:
+        # a violated kernel contract must not hide behind a green bench line
+        raise SystemExit(f"on-chip contract(s) FAILED: {contracts}")
 
 
 if __name__ == "__main__":
