@@ -101,6 +101,59 @@ class TestCheckpointRoundTrip:
         mgr2.close()
 
 
+class TestCheckpointReshard:
+    def test_save_dp2_resume_dp4_and_dp1(self, tmp_path):
+        """A snapshot saved under one mesh must resume under another:
+        orbax's StandardRestore takes the TARGET sharding from the template
+        arrays, so a dp=2-replicated run's snapshot restores onto a dp=4
+        mesh (and onto a single device) with identical values — the
+        elastic-restart contract the reference's torch DDP snapshots lack
+        (reference base_trainer.py:113-179 pins world size implicitly)."""
+        from rdmnet_tpu.engine.train_step import make_train_step
+        from rdmnet_tpu.parallel import make_mesh, replicate_to_mesh, shard_batch
+
+        assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+        cfg = make_tiny_cfg()
+        batch = make_batch(cfg, None, bsz=4, n=250)
+        single = jax.tree.map(lambda x: x[0], batch)
+        state = create_train_state(
+            cfg, jax.random.PRNGKey(0), single, steps_per_epoch=5, dp_size=2
+        )
+
+        mesh2 = make_mesh(2)
+        with mesh2:
+            state2 = replicate_to_mesh(state, mesh2)
+        mgr = CheckpointManager(str(tmp_path / "snap"))
+        mgr.save(1, state2, metadata={"epoch": 1, "dp": 2})
+        mgr.wait_until_finished()
+
+        # resume under dp=4: template carries the dp=4 shardings
+        mesh4 = make_mesh(4)
+        with mesh4:
+            template4 = replicate_to_mesh(state, mesh4)
+        restored4, meta = mgr.restore(template4)
+        assert meta["dp"] == 2
+        for want, got in zip(jax.tree.leaves(state.params),
+                             jax.tree.leaves(restored4.params)):
+            assert got.sharding.mesh.devices.size == 4
+            np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+        # ... and the restored state must actually TRAIN under the new mesh
+        step = make_train_step(cfg)
+        with mesh4:
+            new_state, metrics = step(
+                restored4, shard_batch(batch, mesh4), jax.random.PRNGKey(1)
+            )
+        assert np.isfinite(float(metrics["loss"]))
+
+        # resume under dp=1 (plain single-device template)
+        restored1, _ = mgr.restore(jax.device_get(state))
+        for want, got in zip(jax.tree.leaves(state.params),
+                             jax.tree.leaves(restored1.params)):
+            np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+        mgr.close()
+
+
 class TestTrainerLoop:
     def test_one_epoch_with_snapshot_and_resume(self, tiny_kitti, tmp_path):
         cfg = make_tiny_cfg().replace(
