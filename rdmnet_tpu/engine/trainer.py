@@ -174,24 +174,43 @@ class Trainer:
         board = SummaryBoard(last_n=self.log_steps)
         timer = Timer()
         timer.tic()
+        pending = []  # device-side metric trees awaiting one batched fetch
+        steps = 0
+
+        def flush():
+            # ONE batched fetch for the whole window: fetching every step
+            # forces a full sync + tunnel round trip per step, which breaks
+            # dispatch pipelining (measured 0.42 s/step real-Trainer vs
+            # 0.25 s/step for the same program chained in bench.py); the
+            # deferred fetch is also the window's completion barrier
+            # (block_until_ready does not synchronize on this link).
+            for m in jax.device_get(pending):
+                board.update_from_dict(m)
+            pending.clear()
+
+        t_win = time.time()
         for i, np_batch in enumerate(self.train_loader):
             batch = batch_to_device(np_batch, self.cfg.pyramid, self.mesh)
             timer.record_prepare()
             self.key, sub = jax.random.split(self.key)
             self.state, metrics = self.train_step(self.state, batch, sub)
-            # one batched fetch per step: this is ALSO the step barrier
-            # (block_until_ready does not synchronize on remote-device
-            # links; per-key float() in the board would round-trip per
-            # metric — ~10 serialized fetches/step)
-            metrics = jax.device_get(metrics)
+            pending.append(metrics)
             timer.record_process()
-            board.update_from_dict(metrics)
-            if (i + 1) % self.log_steps == 0:
+            steps = i + 1
+            if steps % self.log_steps == 0:
+                flush()
+                # prep/proc are now DISPATCH-side costs (the step executes
+                # asynchronously); the windowed rate below is the honest
+                # sustained number — flush() is its completion barrier
+                rate = self.log_steps / max(time.time() - t_win, 1e-9)
+                t_win = time.time()
                 self.logger.info(
-                    f"epoch {self.epoch} step {i + 1}/{len(self.train_loader)} "
+                    f"epoch {self.epoch} step {steps}/{len(self.train_loader)} "
                     f"| {board.format()} | prep {timer.prepare_time():.3f}s "
-                    f"proc {timer.process_time():.3f}s"
+                    f"proc {timer.process_time():.3f}s "
+                    f"| {rate:.2f} steps/s"
                 )
+        flush()
         return board.summary()
 
     def validate(self):
