@@ -42,6 +42,12 @@ python -m rdmnet_tpu.cli.trainval --root "$ROOT" --output_dir "$RUN" \
 # artifacts stay comparable)
 bash scripts/run_mulran_stress.sh "$RUN/snapshots_best" "$WORK/stress"
 
+# regression-pin the vote-on rescue (round-3 finding: vote off PIR ~3% vs
+# on ~58% on these pairs): fails the recipe if the contrast disappears, and
+# writes the artifact tests/test_vote_rescue.py re-asserts in the slow suite
+python scripts/check_vote_rescue.py "$RUN/snapshots_best" "$WORK/stress/data" \
+    --out "$WORK/stress/vote_rescue.json"
+
 # forgetting check: the original full-360 held-out-scene test
 FEATS360="$WORK/features_360"
 CAL360=$(python -m rdmnet_tpu.cli.preprocess calibrate --root /tmp/rdmnet_proc_r3/data | tail -1)
