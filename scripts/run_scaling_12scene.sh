@@ -29,9 +29,19 @@ EVAL_ROOT=/tmp/rdmnet_proc_r3/data   # test split: held-out scenes 08-10
 RUN_A="$WORK/run_bootstrap"
 RUN_B="$WORK/run_aug"
 
-for d in "$ROOT_A" "$ROOT_B" "$EVAL_ROOT"; do
-    [ -d "$d" ] || { echo "missing root $d (see script header)"; exit 1; }
-done
+# roots are deterministic in --seed: regenerate any that are missing
+if [ ! -d "$ROOT_A" ]; then
+    python scripts/make_synth_kitti.py --out "$ROOT_A" --procedural 6 \
+        --frames 50 --val_frames 5 --test_frames 5            # seed 7351
+fi
+if [ ! -d "$ROOT_B" ]; then
+    python scripts/make_synth_kitti.py --out "$ROOT_B" --procedural 6 \
+        --frames 50 --val_frames 5 --test_frames 5 --seed 4242
+fi
+if [ ! -d "$EVAL_ROOT" ]; then
+    python scripts/make_synth_kitti.py --out "$EVAL_ROOT" --procedural 6 \
+        --frames 25 --val_frames 5 --test_frames 5            # seed 7351
+fi
 
 CAL=$(python -m rdmnet_tpu.cli.preprocess calibrate --root "$ROOT_A,$ROOT_B" | tail -1)
 echo "calibrated: $CAL"
