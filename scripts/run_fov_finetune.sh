@@ -28,10 +28,16 @@ fi
 CAL=$(python -m rdmnet_tpu.cli.preprocess calibrate --root "$ROOT" | tail -1)
 echo "calibrated: $CAL"
 
+# resume-idempotent: a rerun RESUMES an interrupted fine-tune (no-op if
+# complete) — see run_scaling_12scene.sh for rationale
+resume_flag() {
+    [ -n "$(ls -A "$1/snapshots" 2>/dev/null)" ] && echo "--resume"
+}
+
 # warm start from the full-360 snapshot; rotation-only augmentation and
 # effective batch 4, the proven phase-B recipe
 python -m rdmnet_tpu.cli.trainval --root "$ROOT" --output_dir "$RUN" \
-    --init_from "$SNAP" \
+    --init_from "$SNAP" $(resume_flag "$RUN") \
     --max_epoch "$EPOCHS" --lr 2e-4 --bucket_scale 0.7 \
     --augmentation_rotation 12 --augmentation_scale 1,1 \
     --augmentation_shift 0 --grad_acc 4 \

@@ -34,20 +34,25 @@ fi
 CAL=$(python -m rdmnet_tpu.cli.preprocess calibrate --root "$ROOT" | tail -1)
 echo "calibrated: $CAL"
 
+# resume-idempotent phases: a rerun RESUMES an interrupted phase (no-op if
+# complete) instead of skipping — see run_scaling_12scene.sh for rationale
+resume_flag() {
+    [ -n "$(ls -A "$1/snapshots" 2>/dev/null)" ] && echo "--resume"
+}
+
 # phase A: bootstrap WITHOUT augmentation (the recipe that converges from
 # random init; augmentation-from-init plateaued at PIR ~1% twice on the
 # synth set)
-if [ ! -d "$RUN_A/snapshots_best" ]; then
-    python -m rdmnet_tpu.cli.trainval --root "$ROOT" --output_dir "$RUN_A" \
-        --max_epoch "$EPOCHS_A" --lr 5e-4 --no_augmentation --bucket_scale 0.7 \
-        --scheduler warmup_cosine --warmup_steps 200 \
-        --keep_snapshots 3 --log_steps 50 $CAL
-fi
+python -m rdmnet_tpu.cli.trainval --root "$ROOT" --output_dir "$RUN_A" \
+    $(resume_flag "$RUN_A") \
+    --max_epoch "$EPOCHS_A" --lr 5e-4 --no_augmentation --bucket_scale 0.7 \
+    --scheduler warmup_cosine --warmup_steps 200 \
+    --keep_snapshots 3 --log_steps 50 $CAL
 
 # phase B: warm-start params (fresh optimizer), rotation-only augmentation
 # (30 deg/axis), effective batch 4
 python -m rdmnet_tpu.cli.trainval --root "$ROOT" --output_dir "$RUN_B" \
-    --init_from "$RUN_A/snapshots_best" \
+    --init_from "$RUN_A/snapshots_best" $(resume_flag "$RUN_B") \
     --max_epoch "$EPOCHS_B" --lr 2e-4 --bucket_scale 0.7 \
     --augmentation_rotation 12 --augmentation_scale 1,1 \
     --augmentation_shift 0 --grad_acc 4 \

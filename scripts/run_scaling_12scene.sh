@@ -46,18 +46,27 @@ fi
 CAL=$(python -m rdmnet_tpu.cli.preprocess calibrate --root "$ROOT_A,$ROOT_B" | tail -1)
 echo "calibrated: $CAL"
 
+# resume-idempotent phases: a rerun of this recipe RESUMES an interrupted
+# phase (and no-ops a completed one — Trainer.run exits when epoch >=
+# max_epoch) instead of skipping it outright, so a partial bootstrap can
+# never silently feed phase B (directory-existence guards had exactly that
+# failure mode when a run died mid-phase)
+resume_flag() {  # resume only when a snapshot exists to restore from
+    [ -n "$(ls -A "$1/snapshots" 2>/dev/null)" ] && echo "--resume"
+}
+
 # phase A: no-aug bootstrap from random init (same recipe, 4x data)
-if [ ! -d "$RUN_A/snapshots_best" ]; then
-    python -m rdmnet_tpu.cli.trainval --root "$ROOT_A,$ROOT_B" \
-        --output_dir "$RUN_A" \
-        --max_epoch "$EPOCHS_A" --lr 5e-4 --no_augmentation --bucket_scale 0.7 \
-        --scheduler warmup_cosine --warmup_steps 200 \
-        --keep_snapshots 3 --log_steps 100 $CAL
-fi
+python -m rdmnet_tpu.cli.trainval --root "$ROOT_A,$ROOT_B" \
+    --output_dir "$RUN_A" $(resume_flag "$RUN_A") \
+    --max_epoch "$EPOCHS_A" --lr 5e-4 --no_augmentation --bucket_scale 0.7 \
+    --scheduler warmup_cosine --warmup_steps 200 \
+    --keep_snapshots 3 --log_steps 100 $CAL
 
 # phase B: warm start, rotation-only augmentation, effective batch 4
+# (--init_from is ignored when resuming, cli/trainval.py:213)
 python -m rdmnet_tpu.cli.trainval --root "$ROOT_A,$ROOT_B" \
     --output_dir "$RUN_B" --init_from "$RUN_A/snapshots_best" \
+    $(resume_flag "$RUN_B") \
     --max_epoch "$EPOCHS_B" --lr 2e-4 --bucket_scale 0.7 \
     --augmentation_rotation 12 --augmentation_scale 1,1 \
     --augmentation_shift 0 --grad_acc 4 \
