@@ -20,12 +20,13 @@ exact block inventory of nn/backbone.py::Encoder at a given bucket:
 It then scores three time models against the measured encoder stage time
 (mfu_report.py prefix diff):
 
-1. emitter model: rows x 4 ns + payload / 30 GB/s (the measured XLA row-
-   gather floor, DESIGN.md round-2);
+1. fixed-overhead emitter floor: rows x 4 ns (the measured per-row cost of
+   the XLA row-gather emitter, DESIGN.md round-2; payload streaming is
+   second order at these row sizes);
 2. pin-bandwidth ideal: payload / 819 GB/s (what a Mosaic multi-vreg gather
    at full HBM rate would cost, zero per-row overhead);
-3. the gather-free residual: measured encoder time minus model 1 = the
-   matmul/norm work XLA overlaps or runs between gathers.
+3. the gather-free residual: measured encoder time minus model 1 = payload
+   streaming + the matmul/norm work XLA overlaps or runs between gathers.
 
 Pure host arithmetic — run anywhere: python scripts/gather_traffic.py
 """
@@ -37,7 +38,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V5E_PIN_GBS = 819.0
 EMITTER_FIXED_NS_PER_ROW = 4.0
-EMITTER_GBS = 30.0
 
 
 def encoder_gathers(caps, K, init_dim=64):
@@ -65,8 +65,6 @@ def encoder_gathers(caps, K, init_dim=64):
 
 
 def main():
-    import dataclasses
-
     # config import only (host-side; no device use)
     from rdmnet_tpu.config import make_cfg
 
@@ -87,7 +85,17 @@ def main():
     meas = float(sys.argv[1]) if len(sys.argv) > 1 else 51.2  # mfu_report r4
     implied_ns = meas * 1e-3 / rows_total * 1e9
     eff_gbs = bytes_total / (meas * 1e-3) / 1e9
+    # model 1: the fixed-overhead floor of the XLA row-gather emitter
+    # (measured ~4 ns/row, DESIGN.md round-2; payload streaming is second
+    # order at these row sizes, so no payload term)
+    emitter_ms = rows_total * EMITTER_FIXED_NS_PER_ROW * 1e-6
+    # model 3: what's left of the measured stage after model 1 — payload
+    # streaming plus the matmul/norm work XLA overlaps or runs between
+    residual_ms = meas - emitter_ms
     print(
+        f"\nemitter fixed-overhead floor (rows x "
+        f"{EMITTER_FIXED_NS_PER_ROW:.0f} ns): {emitter_ms:6.2f} ms"
+        f"\ngather-free residual (measured - floor): {residual_ms:6.2f} ms"
         f"\nmeasured encoder stage (mfu_report): {meas:6.2f} ms"
         f"\n-> implied cost per gathered row:     {implied_ns:6.2f} ns"
         f"\n   (the microbench's ~4-5 ns/row fixed emitter cost ALONE "

@@ -68,11 +68,17 @@ def main():
     trainer = Trainer(
         cfg, loader, None, output_dir=args.out, log_steps=args.log_steps
     )
+    # train.log is opened in append mode by the Trainer's FileHandler, so a
+    # re-run against the same --out would otherwise average stale windows
+    # from prior runs into "steady"; parse only lines written by THIS run.
+    log_path = os.path.join(args.out, "logs", "train.log")
+    prior_bytes = os.path.getsize(log_path) if os.path.exists(log_path) else 0
     trainer.run()
 
     # the Trainer's own windowed rates are the measurement; echo them
     rates = []
-    with open(os.path.join(args.out, "logs", "train.log")) as f:
+    with open(log_path) as f:
+        f.seek(prior_bytes)
         for line in f:
             m = re.search(r"\| ([0-9.]+) steps/s", line)
             if m:
