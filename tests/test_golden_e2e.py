@@ -117,6 +117,106 @@ class TestGoldenE2E:
         assert np.abs(ours[:3, :3] - theirs[:3, :3]).max() < 1e-4
         assert np.abs(ours[:3, 3] - theirs[:3, 3]).max() < 2e-3
 
+    def test_reverse_export_runs_in_live_reference(self, golden, our_run):
+        """jax -> torch e2e: export our params into the reference's state-dict
+        schema, load them into the LIVE torch reference model with
+        strict=True, run its forward on the stored collate graph, and match
+        the golden outputs AND our model's outputs — the proof that a
+        TPU-trained checkpoint is consumable by the reference's own tooling
+        (reference experiments/model.py:399 key schema, model_infer.py
+        GT-free forward)."""
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        import ref_oracle
+
+        try:
+            ref_oracle.load_reference()
+        except Exception as e:  # torch/ext unavailable in this environment
+            pytest.skip(f"live reference unavailable: {e}")
+        import torch
+
+        # torch>=2 rejects .view(-1) on non-contiguous tensors torch 1.8
+        # allowed (same patch as scripts/dump_reference_golden.py)
+        import geotransformer.modules.ops.index_select as _isel
+        import geotransformer.modules.ops as _ops
+
+        def _index_select(data, index, dim):
+            output = data.index_select(dim, index.reshape(-1))
+            if index.ndim > 1:
+                output_shape = data.shape[:dim] + index.shape + data.shape[dim:][1:]
+                output = output.view(*output_shape)
+            return output
+
+        _isel.index_select = _index_select
+        _ops.index_select = _index_select
+
+        graph, outs, sd, _ = golden
+        out, _ = our_run
+        from rdmnet_tpu.utils.torch_convert import (
+            convert_state_dict,
+            export_state_dict,
+        )
+
+        # the reverse direction under test: flax tree -> reference schema
+        params = convert_state_dict(sd)
+        exported = export_state_dict(
+            params, {k: tuple(v.shape) for k, v in sd.items()}
+        )
+
+        sys.path.insert(0, "/root/reference/experiments")
+        from config import make_cfg as ref_make_cfg
+        from model_infer import create_model
+
+        cfg = ref_make_cfg()
+        cfg.test.vis = False
+        cfg.neighbor_limits = [65, 63, 69, 71, 81]
+        model = create_model(cfg)
+        # strict load against the reference's own schema IS the consumability
+        # check: any missing/unexpected/mis-shaped key raises here
+        model.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in exported.items()},
+            strict=True,
+        )
+        model.eval()
+
+        ns = len(graph["points"])
+        batch = {
+            "points": [torch.from_numpy(graph["points"][i]) for i in range(ns)],
+            "lengths": [
+                torch.from_numpy(graph["lengths"][i]).long() for i in range(ns)
+            ],
+            "neighbors": [
+                torch.from_numpy(graph["neighbors"][i]).long() for i in range(ns)
+            ],
+            "subsampling": [
+                torch.from_numpy(graph["subsampling"][i]).long()
+                for i in range(ns - 1)
+            ],
+            "upsampling": [
+                torch.from_numpy(graph["upsampling"][i]).long()
+                for i in range(ns - 1)
+            ],
+            "features": torch.ones(len(graph["points"][0]), 1),
+            "transform": torch.eye(4),
+            "batch_size": 1,
+            "testing": True,
+        }
+        with torch.no_grad():
+            tout = model(batch)
+
+        # the reference fed with our exported weights must reproduce the
+        # golden run (same graph, same numbers, deterministic forward) ...
+        t_torch = tout["estimated_transform"].numpy()
+        assert np.abs(t_torch[:3, :3] - outs["estimated_transform"][:3, :3]).max() < 1e-5
+        assert np.abs(t_torch[:3, 3] - outs["estimated_transform"][:3, 3]).max() < 1e-4
+        ref_nf = int(graph["lengths"][1][0])
+        assert rel(tout["ref_feats_f"].numpy()[:ref_nf],
+                   outs["ref_feats_f"][:ref_nf]) < 1e-5
+        # ... and agree with OUR model's output on the same pair — the
+        # cross-framework statement users of the export path rely on
+        ours_t = np.asarray(out["estimated_transform"])
+        assert np.abs(t_torch[:3, :3] - ours_t[:3, :3]).max() < 1e-4
+        assert np.abs(t_torch[:3, 3] - ours_t[:3, 3]).max() < 2e-3
+
     def test_converter_tree_is_exact(self, golden):
         """The converted tree must match our init tree key-for-key."""
         import dataclasses
