@@ -72,7 +72,8 @@ def build_seq(root, schema, seq, base, n_frames, rng, intensity=True):
 
 
 def build_procedural_seq(root, schema, seq, seed, n_frames, rings, azimuths,
-                         step, intensity=True, fov_deg=None):
+                         step, intensity=True, fov_deg=None, enrich=False,
+                         dropout=0.0):
     """One procedurally generated scene per sequence: ray-cast scans from a
     moving sensor (viewpoint-dependent occlusion), GT pair transforms from
     the exact sensor poses. Distinct seeds per sequence mean test splits
@@ -81,7 +82,7 @@ def build_procedural_seq(root, schema, seq, seed, n_frames, rings, azimuths,
 
     scans, poses = procedural_sequence(
         seed, n_frames, n_rings=rings, n_azimuths=azimuths, step=step,
-        fov_deg=fov_deg,
+        fov_deg=fov_deg, enrich=enrich, dropout=dropout,
     )
     gt_path = osp.join(root, schema.gt_file.format(seq=seq))
     os.makedirs(osp.dirname(gt_path), exist_ok=True)
@@ -146,6 +147,19 @@ def main():
              "that asymmetric-overlap stress regime",
     )
     ap.add_argument(
+        "--enrich", action="store_true",
+        help="enable the enriched --procedural generator (curved corridor, "
+             "non-planar terrain, in-corridor clutter — "
+             "rdmnet_tpu.data.procedural.make_scene enrich=True); default "
+             "off so existing seed-addressed roots reproduce bit-for-bit",
+    )
+    ap.add_argument(
+        "--dropout", type=float, default=0.0,
+        help="range-weighted per-return dropout probability scale for "
+             "--procedural scans (Velodyne-like return loss; ~0.3 drops "
+             "roughly a fifth of returns)",
+    )
+    ap.add_argument(
         "--seed", type=int, default=7351,
         help="base RNG seed; per-sequence scene seeds are drawn from it in "
              "split order, so two roots built with the SAME seed share "
@@ -176,7 +190,8 @@ def main():
             build_procedural_seq(
                 args.out, schema, seq, int(rng.randint(2**31)), n_frames,
                 args.rings, args.azimuths, args.step, intensity=intensity,
-                fov_deg=args.fov_deg,
+                fov_deg=args.fov_deg, enrich=args.enrich,
+                dropout=args.dropout,
             )
 
         if args.layout == "kitti":

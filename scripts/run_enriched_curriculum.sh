@@ -1,0 +1,71 @@
+#!/usr/bin/env bash
+# Fixed-budget realism test (VERDICT r4 #2): re-run the PROVEN two-phase
+# curriculum (run_procedural_generalization.sh — same scene count, pair
+# count, epochs, lr schedule, augmentation) with the ENRICHED generator
+# (curved corridor, non-planar terrain, in-corridor clutter, range dropout —
+# data/procedural.py enrich=True) so any metric movement is attributable to
+# scene REALISM, not compute or data volume.
+#
+# Why: the round-4 12-scene experiment varied scene COUNT at fixed compute
+# and concluded the held-out accuracy ceiling is set by "procedural scene
+# realism, not scene count" — an inference, never tested (VERDICT r4
+# "What's missing" #2). Training AND evaluating on enriched scenes either
+# moves the ceiling (claim confirmed: realism was binding) or holds it
+# (claim refuted: the pipeline is at its own floor). The 2x2 cross-eval
+# (plain-trained vs enriched-trained x plain vs enriched held-out scenes)
+# is completed by evaluating this run's snapshot on the plain r5 eval root
+# and the plain-trained snapshot on this root — see STATUS.md round-5.
+#
+# Usage: bash scripts/run_enriched_curriculum.sh [WORKDIR] [EPOCHS_A] [EPOCHS_B]
+set -euo pipefail
+
+WORK=${1:-/tmp/rdmnet_enriched}
+EPOCHS_A=${2:-30}
+EPOCHS_B=${3:-60}
+ROOT="$WORK/data"
+RUN_A="$WORK/run_bootstrap"
+RUN_B="$WORK/run_aug"
+FEATS="$WORK/features"
+
+if [ ! -d "$ROOT" ]; then
+    # same split sizes as the proven curriculum: 6 train scenes x 24 pairs,
+    # val + test from scenes never seen in training; same base seed (the
+    # enrichment draws change every scene anyway, and keeping 7351 keeps
+    # the protocol identical in everything except realism)
+    python scripts/make_synth_kitti.py --out "$ROOT" --procedural 6 \
+        --frames 25 --val_frames 5 --test_frames 5 \
+        --enrich --dropout 0.2
+fi
+
+CAL=$(python -m rdmnet_tpu.cli.preprocess calibrate --root "$ROOT" | tail -1)
+echo "calibrated: $CAL"
+
+resume_flag() {
+    [ -n "$(ls -A "$1/snapshots" 2>/dev/null)" ] && echo "--resume"
+}
+
+# phase A: no-aug bootstrap from random init (identical to the plain recipe)
+python -m rdmnet_tpu.cli.trainval --root "$ROOT" --output_dir "$RUN_A" \
+    $(resume_flag "$RUN_A") \
+    --max_epoch "$EPOCHS_A" --lr 5e-4 --no_augmentation --bucket_scale 0.7 \
+    --scheduler warmup_cosine --warmup_steps 200 \
+    --keep_snapshots 3 --log_steps 50 $CAL
+
+# phase B: warm start, rotation-only augmentation, effective batch 4
+python -m rdmnet_tpu.cli.trainval --root "$ROOT" --output_dir "$RUN_B" \
+    --init_from "$RUN_A/snapshots_best" $(resume_flag "$RUN_B") \
+    --max_epoch "$EPOCHS_B" --lr 2e-4 --bucket_scale 0.7 \
+    --augmentation_rotation 12 --augmentation_scale 1,1 \
+    --augmentation_shift 0 --grad_acc 4 \
+    --scheduler warmup_cosine --warmup_steps 100 \
+    --keep_snapshots 3 --log_steps 50 $CAL
+
+# held-out-scene evaluation on the ENRICHED test split
+python -m rdmnet_tpu.cli.test --dataset kitti --root "$ROOT" \
+    --snapshot_dir "$RUN_B/snapshots_best" --feature_dir "$FEATS" \
+    --bucket_scale 0.7 $CAL
+echo "== enriched-trained on enriched held-out scenes =="
+python -m rdmnet_tpu.cli.eval --feature_dir "$FEATS" --method lgr \
+    --json_out "$FEATS/summary.json"
+
+echo "enriched-curriculum artifacts under $WORK"

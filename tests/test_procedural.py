@@ -182,6 +182,81 @@ def test_fov_sector_crop_is_body_fixed():
     assert np.median(_nn_dist(aligned, scans[0][:, :3])) < 1.0
 
 
+def test_enriched_generator_axes():
+    """The enriched generator (make_scene enrich=True — the knob that tests
+    the round-4 'procedural realism is the binding constraint' claim) must
+    add every advertised axis while keeping GT geometric consistency:
+    curved centerline, non-planar terrain that both scans agree on,
+    in-corridor clutter, and range-weighted dropout."""
+    from rdmnet_tpu.data.procedural import make_scene
+
+    rng = np.random.RandomState(3)
+    scene = make_scene(rng, enrich=True)
+    # axes present
+    assert scene.terrain is not None and len(scene.clutter) == 16
+    assert abs(scene.centerline[0]) > 1.0  # curved, not straight
+    # clutter sits INSIDE the corridor (lateral offset from the curved
+    # centerline below the corridor half width) but clear of the sensor path
+    lat = np.abs(scene.clutter[:, 1] - scene.centerline_y(scene.clutter[:, 0]))
+    assert np.all(lat < 6.0) and np.all(lat > 2.2)
+    # buildings stay OUT of the corridor after re-seating onto the curve
+    lat_b = np.abs(scene.boxes[:, 1] - scene.centerline_y(scene.boxes[:, 0]))
+    assert np.all(lat_b > 6.0)
+
+    scans, poses = procedural_sequence(5, 2, enrich=True, **FAST)
+    tf = np.linalg.inv(poses[0]) @ poses[1]
+    aligned = scans[1][:, :3] @ tf[:3, :3].T + tf[:3, 3]
+    assert np.median(_nn_dist(aligned, scans[0][:, :3])) < 1.0
+    # every ground return lies ON the shared terrain surface (world frame):
+    # the fixed-point ray-march is residual-checked, so scans can't disagree.
+    # Recompute the scene exactly as procedural_sequence(5, ...) did (same
+    # seed, same corridor_length formula).
+    scene_k = make_scene(np.random.RandomState(5),
+                         corridor_length=max(60.0, 2 * 10.0 + 30.0),
+                         enrich=True)
+    for k in range(2):
+        pts_w = scans[k][:, :3] @ poses[k][:3, :3].T + poses[k][:3, 3]
+        gz = scene_k.terrain.height(pts_w[:, 0], pts_w[:, 1])
+        ground = pts_w[:, 2] < gz + 0.4
+        assert ground.sum() > 100
+        resid = np.abs(pts_w[ground, 2] - gz[ground])
+        assert np.median(resid) < 0.05, np.median(resid)
+    # terrain shows up as real ground-height variation in the sensor frame
+    g = scans[0][scans[0][:, 2] < -0.8, 2]
+    assert np.std(g) > 0.25
+
+    # dropout thins the cloud but preserves GT alignment
+    thin, poses_d = procedural_sequence(5, 2, enrich=True, dropout=0.4, **FAST)
+    assert len(thin[0]) < 0.92 * len(scans[0])
+    tf = np.linalg.inv(poses_d[0]) @ poses_d[1]
+    aligned = thin[1][:, :3] @ tf[:3, :3].T + tf[:3, 3]
+    assert np.median(_nn_dist(aligned, thin[0][:, :3])) < 1.0
+
+
+def test_enrichment_preserves_plain_streams():
+    """enrich=False must consume the EXACT rng stream of the pre-enrichment
+    generator: all enrichment draws happen after the plain draws (make_scene)
+    or replace same-count draws (trajectory), so seed-addressed roots built
+    before the enrichment change reproduce bit-for-bit. Pinned by the golden
+    digest of seed 5, verified equal against the round-4 HEAD generator
+    (commit 4a9d8a5) when the enrichment change landed."""
+    import hashlib
+
+    scans, poses = procedural_sequence(5, 2, **FAST)
+    digest = hashlib.sha256(
+        scans[0].tobytes() + scans[1].tobytes() + poses.tobytes()
+    ).hexdigest()
+    assert digest == PLAIN_SEED5_SHA256, digest
+
+
+# sha256 over (scans[0], scans[1], poses) of procedural_sequence(5, 2,
+# n_rings=16, n_azimuths=256) at the pre-enrichment generator (round-4
+# HEAD, commit 4a9d8a5) — x86-64 float64 numpy determinism
+PLAIN_SEED5_SHA256 = (
+    "6b46798e7c08f2d2bf3a7eddecf2e8d2304d07cb474ecbf523485c708968bba6"
+)
+
+
 @pytest.mark.slow
 def test_mulran_fov_stress_end_to_end(tmp_path):
     """The reference's hardest regime, driven through the REAL CLIs with
