@@ -172,6 +172,9 @@ def build_cloud_pyramid(
     count: jnp.ndarray,
     spec: PyramidConfig,
     dropped0: jnp.ndarray | int = 0,
+    sp_mesh=None,
+    sp_axis: str = "sp",
+    sp_min_queries: int = 2048,
 ) -> CloudPyramid:
     """Build the full pyramid for one padded cloud.
 
@@ -181,6 +184,16 @@ def build_cloud_pyramid(
         sentinel coordinates).
       count: () int32 number of valid points.
       spec: static pyramid spec (capacities, neighbor limits, radii).
+      sp_mesh: optional jax.sharding.Mesh carrying an ``sp_axis`` axis:
+        radius searches whose query level holds >= ``sp_min_queries``
+        capacity rows (the level-0/1 searches — the dominant build cost,
+        DESIGN.md build timings) run query-sharded over that axis
+        (parallel/sharded_search.py), with supports replicated. Results are
+        identical to the unsharded build — sharding only splits the query
+        chunking, and every query row's top-k is computed against the same
+        support set. This is the single-pair latency-scaling axis; the
+        TPU-native answer to the reference's per-worker CPU collate
+        (geotransformer/utils/data.py:13-77).
     """
     assert points.shape[0] == spec.caps[0], (
         f"level-0 capacity mismatch: {points.shape[0]} vs {spec.caps[0]}"
@@ -227,7 +240,20 @@ def build_cloud_pyramid(
         # would be a 1-recall_target chance of missing the true nearest
         recall = spec.approx_recall if k > 1 else None
         band = spec.band_caps[s_lvl]
-        if band is None or band >= spec.caps[s_lvl]:
+        banded = band is not None and band < spec.caps[s_lvl]
+        if sp_mesh is not None and spec.caps[q_lvl] >= sp_min_queries:
+            from rdmnet_tpu.parallel.sharded_search import sharded_radius_knn
+
+            return sharded_radius_knn(
+                pts[q_lvl], pts[s_lvl], cnts[s_lvl], r, k,
+                mesh=sp_mesh, axis=sp_axis, q_count=cnts[q_lvl],
+                cell=spec.sort_cell(s_lvl) if banded else None,
+                band_cap=band if banded else None,
+                chunk_size=spec.band_chunk_for(q_lvl),
+                approx_recall=recall, map_batch=spec.map_batch,
+                return_overflow=True,
+            )
+        if not banded:
             return (
                 radius_knn(pts[q_lvl], pts[s_lvl], cnts[s_lvl], r, k,
                            approx_recall=recall, map_batch=spec.map_batch),
@@ -303,6 +329,9 @@ def build_pair_batch(
     input_dim: int = 1,
     ref_dropped0: jnp.ndarray | int = 0,
     src_dropped0: jnp.ndarray | int = 0,
+    sp_mesh=None,
+    sp_axis: str = "sp",
+    sp_min_queries: int = 2048,
 ) -> PairBatch:
     """Build both pyramids of a registration pair (jittable).
 
@@ -310,18 +339,39 @@ def build_pair_batch(
     (reference: rdmnet/datasets/registration/kitti/dataset.py:188-189),
     zeroed on pad rows. ``*_dropped0`` record host-side level-0 truncation
     (``pad_cloud``) so the overflow telemetry covers every capacity.
+
+    ``sp_mesh`` shards the level-0/1 radius searches (the dominant build
+    cost) by query chunks over the mesh's ``sp_axis`` — see
+    ``build_cloud_pyramid``. The pair-vmap is skipped in that mode
+    (shard_map per cloud instead of batching the two clouds): sp sharding
+    targets single-pair LATENCY, where the two clouds' searches pipeline
+    back-to-back across the same devices rather than interleaving.
     """
-    # build both clouds' pyramids in one vmapped program: every sort /
-    # distance kernel processes the (ref, src) pair together, doubling
-    # arithmetic intensity and halving fixed kernel costs
-    both = jax.vmap(lambda p, c, d: build_cloud_pyramid(p, c, spec, dropped0=d))(
-        jnp.stack([ref_points, src_points]),
-        jnp.stack([ref_count.astype(jnp.int32), src_count.astype(jnp.int32)]),
-        jnp.stack([jnp.asarray(ref_dropped0, jnp.int32),
-                   jnp.asarray(src_dropped0, jnp.int32)]),
-    )
-    ref = jax.tree.map(lambda x: x[0], both)
-    src = jax.tree.map(lambda x: x[1], both)
+    if sp_mesh is not None:
+        ref = build_cloud_pyramid(
+            ref_points, ref_count.astype(jnp.int32), spec,
+            dropped0=jnp.asarray(ref_dropped0, jnp.int32),
+            sp_mesh=sp_mesh, sp_axis=sp_axis, sp_min_queries=sp_min_queries,
+        )
+        src = build_cloud_pyramid(
+            src_points, src_count.astype(jnp.int32), spec,
+            dropped0=jnp.asarray(src_dropped0, jnp.int32),
+            sp_mesh=sp_mesh, sp_axis=sp_axis, sp_min_queries=sp_min_queries,
+        )
+    else:
+        # build both clouds' pyramids in one vmapped program: every sort /
+        # distance kernel processes the (ref, src) pair together, doubling
+        # arithmetic intensity and halving fixed kernel costs
+        both = jax.vmap(
+            lambda p, c, d: build_cloud_pyramid(p, c, spec, dropped0=d)
+        )(
+            jnp.stack([ref_points, src_points]),
+            jnp.stack([ref_count.astype(jnp.int32), src_count.astype(jnp.int32)]),
+            jnp.stack([jnp.asarray(ref_dropped0, jnp.int32),
+                       jnp.asarray(src_dropped0, jnp.int32)]),
+        )
+        ref = jax.tree.map(lambda x: x[0], both)
+        src = jax.tree.map(lambda x: x[1], both)
     cap0 = spec.caps[0]
     ref_feats = (jnp.arange(cap0)[:, None] < ref_count).astype(jnp.float32)
     src_feats = (jnp.arange(cap0)[:, None] < src_count).astype(jnp.float32)

@@ -39,13 +39,18 @@ def sharded_radius_knn(
     band_cap: int | None = None,
     chunk_size: int = 512,
     approx_recall: float | None = None,
-) -> jnp.ndarray:
+    map_batch: int | None = None,
+    return_overflow: bool = False,
+):
     """Radius-kNN with queries sharded over ``mesh[axis]``.
 
     Args mirror ops.radius_search.radius_knn / radius_knn_banded; pass
     ``cell`` + ``band_cap`` to use the banded kernel per shard (queries are
     x-sorted, so contiguous shards stay spatially tight and each device's
-    bands cover only its own slab of the scan).
+    bands cover only its own slab of the scan). With ``return_overflow``
+    the banded kernel's band-overflow telemetry is summed over shards
+    (0 when unbanded) so the pyramid's `dropped` counters stay honest
+    under sharding.
 
     Returns (Q, k) int32 — sharded over ``axis`` on the way out, usable
     directly by equally-sharded downstream gathers or gathered by XLA when
@@ -63,22 +68,30 @@ def sharded_radius_knn(
 
     def local(q_shard, valid_shard, s_pts, s_cnt):
         if band_cap is not None and cell is not None:
-            return radius_knn_banded(
+            tab, ov = radius_knn_banded(
                 q_shard, s_pts, s_cnt, radius, k,
                 cell=cell, band_cap=band_cap, q_valid=valid_shard,
                 chunk_size=chunk_size, approx_recall=approx_recall,
+                map_batch=map_batch, return_overflow=True,
             )
-        return radius_knn(
-            q_shard, s_pts, s_cnt, radius, k,
-            chunk_size=chunk_size, approx_recall=approx_recall,
-        )
+        else:
+            tab = radius_knn(
+                q_shard, s_pts, s_cnt, radius, k,
+                chunk_size=chunk_size, approx_recall=approx_recall,
+                map_batch=map_batch,
+            )
+            ov = jnp.int32(0)
+        return tab, ov[None]
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(), P()),
-        out_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
         check_rep=False,
     )
-    out = fn(q_pad, q_valid, s_points, s_count)
-    return out[:q]
+    out, overflow = fn(q_pad, q_valid, s_points, s_count)
+    out = out[:q]
+    if return_overflow:
+        return out, jnp.sum(overflow).astype(jnp.int32)
+    return out

@@ -30,7 +30,13 @@ def run_fast_contracts(interpret: bool = False) -> Dict[str, str]:
     2. pallas fused Sinkhorn == lax.scan path — catches VMEM-kernel drift;
     3. Horn-quaternion pose recovery under HIGHEST matmul precision —
        catches solver/precision regressions on the pose path
-       (ops/procrustes.py; the f32-SVD failure measured 0.045 deg here).
+       (ops/procrustes.py; the f32-SVD failure measured 0.045 deg here);
+    4. approx-top-k search recall vs the exact set — the PRODUCTION default
+       search path (``approx_recall`` in config); ``lax.approx_max_k``
+       semantics are compiler-owned (PartialReduce), so an XLA toolchain
+       update can move its recall with no change in this repo. The reference
+       counterpart of what this pins is the truncate-sorted-neighbors rule,
+       geotransformer/modules/ops/radius_search.py:47-48.
     """
     import jax
     import jax.numpy as jnp
@@ -123,6 +129,36 @@ def run_fast_contracts(interpret: bool = False) -> Dict[str, str]:
         "pass"
         if rre < 0.01 and rte < 1e-3
         else f"FAIL RRE={rre:.5f}deg RTE={rte * 1e3:.3f}mm"
+    )
+
+    # ---- 4. approx-top-k recall vs the exact set (production default) -----
+    from rdmnet_tpu.config import make_cfg
+    from rdmnet_tpu.ops import radius_knn
+
+    target = make_cfg().pyramid.approx_recall or 0.95
+    exact = np.asarray(
+        jax.jit(
+            lambda q, s: radius_knn(q, s, jnp.int32(s_count), radius, k,
+                                    approx_recall=None)
+        )(q, s)
+    )
+    approx = np.asarray(
+        jax.jit(
+            lambda q, s: radius_knn(q, s, jnp.int32(s_count), radius, k,
+                                    approx_recall=target)
+        )(q, s)
+    )
+    hits = total = 0
+    for r in range(n_q):
+        w = {int(v) for v in exact[r] if 0 <= v < s_count}
+        g = {int(v) for v in approx[r] if 0 <= v < s_count}
+        hits += len(w & g)
+        total += len(w)
+    recall = hits / max(total, 1)
+    results["approx_search_recall"] = (
+        "pass"
+        if recall >= target
+        else f"FAIL recall {recall:.4f} < target {target}"
     )
 
     return results

@@ -145,6 +145,38 @@ class TestShardedSearch:
             assert len(a) == len(b)
             np.testing.assert_allclose(d[i][a], d[i][b], atol=1e-5)
 
+    def test_build_pair_batch_sp_sharded_matches(self, rng):
+        """The FULL graph build with its big searches sp-sharded must equal
+        the single-device build leaf-for-leaf — integration of the sharded
+        primitive into build_pair_batch (the end-to-end sp path; the
+        TPU-native answer to the reference's per-worker CPU collate,
+        geotransformer/utils/data.py:13-77)."""
+        from rdmnet_tpu.config import make_tiny_cfg
+        from rdmnet_tpu.graph.pyramid import build_pair_batch, pad_cloud
+
+        assert len(jax.devices()) >= 8
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("sp",))
+        cfg = make_tiny_cfg()
+        cap = cfg.pyramid.caps[0]
+        ref = (rng.rand(400, 3) * np.array([40.0, 8.0, 3.0])).astype(np.float32)
+        src = (rng.rand(384, 3) * np.array([40.0, 8.0, 3.0])).astype(np.float32)
+        rp, rc = pad_cloud(jnp.asarray(ref), cap)
+        sp_, sc = pad_cloud(jnp.asarray(src), cap)
+
+        want = build_pair_batch(rp, rc, sp_, sc, jnp.eye(4), cfg.pyramid)
+        with mesh:
+            got = build_pair_batch(
+                rp, rc, sp_, sc, jnp.eye(4), cfg.pyramid,
+                sp_mesh=mesh, sp_min_queries=64,
+            )
+        flat_w, tree_w = jax.tree_util.tree_flatten_with_path(want)
+        flat_g = jax.tree_util.tree_flatten(got)[0]
+        for (path, a), b in zip(flat_w, flat_g):
+            name = jax.tree_util.keystr(path)
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.shape == b.shape, name
+            np.testing.assert_array_equal(b, a, err_msg=name)
+
     def test_banded_matches_single_device(self, rng):
         from rdmnet_tpu.ops import radius_knn_banded
         from rdmnet_tpu.parallel.sharded_search import sharded_radius_knn
