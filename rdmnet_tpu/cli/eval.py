@@ -132,6 +132,12 @@ def main():
     )
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument(
+        "--json_out", default=None,
+        help="write the summary metrics (RR/RRE/RTE/PIR..., per-pair "
+             "errors, failed pairs) as JSON — the machine-readable surface "
+             "recipe band checks consume (scripts/check_eval_bands.py)",
+    )
+    parser.add_argument(
         "--figures", action="store_true",
         help="write trajectory (Umeyama/ATE) and recall-vs-threshold figures",
     )
@@ -267,6 +273,30 @@ def main():
     )
     if fail_cases:
         print("failed pairs:", fail_cases)
+
+    if args.json_out:
+        import json
+
+        summary = {
+            "method": args.method,
+            "n_pairs": len(all_pairs),
+            "RR": float(reg_meter.mean("recall")),
+            "RRE_deg": float(np.mean(accepted_rre)) if accepted_rre else None,
+            "RTE_m": float(np.mean(accepted_rte)) if accepted_rte else None,
+            "PIR": float(coarse_meter.mean("precision")),
+            "IR": float(fine_meter.mean("inlier_ratio")),
+            "overlap": float(fine_meter.mean("overlap")),
+            "failed_pairs": fail_cases,
+            "per_pair": [
+                {"seq_id": p["seq_id"], "src_frame": p["src_frame"],
+                 "ref_frame": p["ref_frame"],
+                 "rre": float(p["rre"]), "rte": float(p["rte"])}
+                for p in all_pairs
+            ],
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"summary JSON written to {args.json_out}")
 
     if args.figures and all_pairs:
         from rdmnet_tpu.utils.baselines import published_for

@@ -33,7 +33,12 @@ for SEED in "${SEEDS[@]}"; do
         --snapshot_dir "$SNAP" --feature_dir "$FEATS" \
         --bucket_scale 0.7 $CAL
     echo "== seed $SEED eval =="
-    python -m rdmnet_tpu.cli.eval --feature_dir "$FEATS" --method lgr
+    python -m rdmnet_tpu.cli.eval --feature_dir "$FEATS" --method lgr \
+        --json_out "$FEATS/summary.json"
+    # accuracy BANDS, not just the RR cliff: drift below the acceptance
+    # thresholds still fails loudly (scripts/check_eval_bands.py rationale)
+    python scripts/check_eval_bands.py "$FEATS/summary.json" \
+        --rr_min 1.0 --rre_max 0.25 --rte_max 0.07
 done
 
 echo "fresh-scene eval artifacts under $WORK"

@@ -66,6 +66,13 @@ python -m rdmnet_tpu.cli.test --dataset kitti --root "$ROOT" \
     --snapshot_dir "$RUN_B/snapshots_best" --feature_dir "$FEATS" \
     --bucket_scale 0.7 $CAL
 
-python -m rdmnet_tpu.cli.eval --feature_dir "$FEATS" --method lgr --figures
+python -m rdmnet_tpu.cli.eval --feature_dir "$FEATS" --method lgr --figures \
+    --json_out "$FEATS/summary.json"
+
+# accuracy BANDS on the saturated held-out metric (VERDICT r4 #8): RR 100%
+# alone cannot see drift below the 5 deg / 2 m acceptance cliff; the bands
+# (~3x the measured run-to-run spread) can — scripts/check_eval_bands.py
+python scripts/check_eval_bands.py "$FEATS/summary.json" \
+    --rr_min 1.0 --rre_max 0.25 --rte_max 0.07
 
 echo "held-out-scene generalization artifacts under $WORK"

@@ -79,7 +79,10 @@ python -m rdmnet_tpu.cli.test --dataset kitti --root "$EVAL_ROOT" \
     --snapshot_dir "$RUN_B/snapshots_best" --feature_dir "$WORK/features_r3" \
     --bucket_scale 0.7 $CAL
 echo "== eval: r3 held-out scenes =="
-python -m rdmnet_tpu.cli.eval --feature_dir "$WORK/features_r3" --method lgr
+python -m rdmnet_tpu.cli.eval --feature_dir "$WORK/features_r3" --method lgr \
+    --json_out "$WORK/features_r3/summary.json"
+python scripts/check_eval_bands.py "$WORK/features_r3/summary.json" \
+    --rr_min 1.0 --rre_max 0.25 --rte_max 0.07
 
 # eval 2: the SAME fresh-seed pairs used for the 6-scene evidence
 # (run_fresh_scene_eval.sh roots: 3 test scenes x 10 pairs per seed;
@@ -96,7 +99,11 @@ for SEED in 999 1000; do
         --feature_dir "$WORK/features_fresh_$SEED" \
         --bucket_scale 0.7 $CAL
     echo "== eval: fresh scenes seed $SEED =="
-    python -m rdmnet_tpu.cli.eval --feature_dir "$WORK/features_fresh_$SEED" --method lgr
+    python -m rdmnet_tpu.cli.eval --feature_dir "$WORK/features_fresh_$SEED" \
+        --method lgr --json_out "$WORK/features_fresh_$SEED/summary.json"
+    python scripts/check_eval_bands.py \
+        "$WORK/features_fresh_$SEED/summary.json" \
+        --rr_min 1.0 --rre_max 0.25 --rte_max 0.07
 done
 
 echo "12-scene scaling artifacts under $WORK"
