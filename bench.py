@@ -165,6 +165,93 @@ def main():
         _ = np.asarray(tf)
         lat_dt = (time.perf_counter() - t0) / lat_iters
 
+    # --- mixed-bucket stream: production size diversity (VERDICT r4 #6) ----
+    # The headline measures ONE pair at ONE bucket; production (cli/test.py,
+    # serving.py) dispatches a stream of varying cloud sizes to per-bucket
+    # compiled programs (data/loader.choose_bucket). This drives a shuffled
+    # stream of pairs whose sizes cross BOTH capacity buckets and reports
+    # the steady mixed rate, per-bucket occupancy, and the bucket-switch
+    # cost (interleaved vs bucket-grouped order over the same pairs).
+    # The reference's DataLoader handles any size by construction
+    # (geotransformer/utils/data.py:139-192); this is the bucketed design's
+    # equivalent claim, measured. Params are bucket-independent (weights
+    # carry no capacity dim — serving.py exports all buckets from one tree).
+    mixed_rate = mixed_occupancy = switch_cost_ms = None
+    if os.environ.get("RDMNET_BENCH_MIXED", "1") != "0":
+        try:
+            mrng = np.random.RandomState(0)
+            pipes = []
+            for spec in buckets:
+                model_b = RDMNet(dataclasses.replace(cfg, pyramid=spec))
+
+                def make_pipe(model_b, spec):
+                    @jax.jit
+                    def pipe(params, rp, rc, sp, sc):
+                        b = build_pair_batch(rp, rc, sp, sc, eye, spec)
+                        out = model_b.apply(params, b, training=False,
+                                            with_gt=False)
+                        return out["estimated_transform"]
+                    return pipe
+
+                pipes.append(make_pipe(model_b, spec))
+            bucket_caps = [s.caps[0] for s in buckets]
+            # 24 pairs, ref sizes spanning 40%..98% of the LARGEST cap so the
+            # stream crosses the bucket boundary with both buckets well
+            # occupied (src stays the demo scan)
+            sizes = mrng.uniform(0.40, 0.98, 24) * bucket_caps[-1]
+            items = []  # (bucket_idx, rp, rc)
+            base = np.asarray(ref)
+            for n in sizes.astype(int):
+                reps = int(np.ceil(n / len(base)))
+                cloud = np.tile(base, (reps, 1))[:n]
+                cloud = cloud + mrng.randn(*cloud.shape).astype(np.float32) * 0.05
+                bi = choose_bucket(max(n, len(src)), bucket_caps)
+                brp, brc = pad_cloud(jnp.asarray(cloud), bucket_caps[bi])
+                items.append((bi, brp, brc))
+            srcs = [pad_cloud(jnp.asarray(src), c) for c in bucket_caps]
+            for bi in sorted({it[0] for it in items}):  # compile + warm up
+                i = next(i for i, it in enumerate(items) if it[0] == bi)
+                _ = np.asarray(pipes[bi](params, items[i][1], items[i][2],
+                                         srcs[bi][0], srcs[bi][1]))
+
+            def run_stream(order):
+                dt = None
+                for _ in range(2):  # first loop is warm-up (tunnel rule)
+                    t0 = time.perf_counter()
+                    outs = [
+                        pipes[items[i][0]](params, items[i][1], items[i][2],
+                                           srcs[items[i][0]][0],
+                                           srcs[items[i][0]][1])
+                        for i in order
+                    ]
+                    _ = jax.device_get(outs)
+                    dt = time.perf_counter() - t0
+                return dt
+
+            interleaved = list(range(len(items)))
+            mrng.shuffle(interleaved)
+            grouped = sorted(interleaved, key=lambda i: items[i][0])
+            t_inter = run_stream(interleaved)
+            t_group = run_stream(grouped)
+            n_switch = sum(
+                items[interleaved[i]][0] != items[interleaved[i - 1]][0]
+                for i in range(1, len(interleaved))
+            )
+            mixed_rate = len(items) / t_inter
+            mixed_occupancy = {
+                str(c): sum(1 for it in items if bucket_caps[it[0]] == c)
+                for c in bucket_caps
+            }
+            switch_cost_ms = max(0.0, (t_inter - t_group) / max(n_switch, 1)) * 1e3
+        except Exception:
+            import sys
+            import traceback
+
+            print("bench: mixed-bucket measurement FAILED:", file=sys.stderr)
+            traceback.print_exc()
+            if os.environ.get("RDMNET_BENCH_STRICT", "0") == "1":
+                raise
+
     # --- on-chip kernel/precision contracts (after the timing loops) -------
     # the fast subset of scripts/tpu_smoke.py, mechanized so every driver
     # bench run re-asserts the pallas lowerings + pose-path precision on the
@@ -196,6 +283,15 @@ def main():
                 **(
                     {"train_pairs_per_sec": round(train_pairs_per_sec, 4)}
                     if train_pairs_per_sec
+                    else {}
+                ),
+                **(
+                    {
+                        "mixed_stream_pairs_per_sec": round(mixed_rate, 4),
+                        "mixed_stream_occupancy": mixed_occupancy,
+                        "bucket_switch_cost_ms": round(switch_cost_ms, 2),
+                    }
+                    if mixed_rate
                     else {}
                 ),
                 "contracts": contracts,
