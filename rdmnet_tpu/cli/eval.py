@@ -243,6 +243,10 @@ def main():
             "seq_id": seq_id, "src_frame": src_frame, "ref_frame": ref_frame,
             "estimated_transform": est, "gt_transform": gt_transform,
             "rre": rre, "rte": rte,
+            # per-pair coarse/fine stats for failure-mode breakdowns
+            # (--json_out consumers, e.g. scripts/hard_tier_breakdown.py)
+            "pir": c["precision"], "ir": f["inlier_ratio"],
+            "overlap": f["overlap"],
         })
         accepted = rre < cfg.eval.rre_threshold and rte < cfg.eval.rte_threshold
         reg_meter.update("recall", float(accepted))
@@ -290,7 +294,9 @@ def main():
             "per_pair": [
                 {"seq_id": p["seq_id"], "src_frame": p["src_frame"],
                  "ref_frame": p["ref_frame"],
-                 "rre": float(p["rre"]), "rte": float(p["rte"])}
+                 "rre": float(p["rre"]), "rte": float(p["rte"]),
+                 "pir": float(p["pir"]), "ir": float(p["ir"]),
+                 "overlap": float(p["overlap"])}
                 for p in all_pairs
             ],
         }

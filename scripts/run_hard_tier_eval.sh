@@ -18,19 +18,19 @@
 #
 # Both vote paths are scored per rung: --use_vote on is the production best
 # path (the round-3/4 finding: vote+NMS rescues asymmetric-FOV matching);
-# auto keeps the reference-faithful default. Expected placement (r5 runs,
-# STATUS.md "Hard-tier benchmark"): mid ~100/97 RR, low ~97%, hard 60-85% —
-# the discriminative dial. tests/test_hard_tier.py pins the recipe.
+# off isolates the reference's MulRan vote-off quirk on the same pairs
+# (auto would equal on for these kitti-layout roots). Capacities are
+# calibrated PER RUNG (cli.preprocess calibrate), as the reference
+# calibrates per dataset — enriched/cropped clouds have different level
+# occupancies than the training root. Results: STATUS.md "Hard-tier
+# benchmark" (r5); tests/test_hard_tier.py pins the recipe.
 #
-# Usage: bash scripts/run_hard_tier_eval.sh SNAPSHOT_DIR [WORKDIR] [CAL...]
+# Usage: bash scripts/run_hard_tier_eval.sh SNAPSHOT_DIR [WORKDIR]
 #   SNAPSHOT_DIR: a snapshots_best dir from any trained run
-#   CAL: optional calibration overrides (e.g. --neighbor_limits ... --band_caps ...)
 set -euo pipefail
 
-SNAP=${1:?usage: run_hard_tier_eval.sh SNAPSHOT_DIR [WORKDIR] [CAL...]}
+SNAP=${1:?usage: run_hard_tier_eval.sh SNAPSHOT_DIR [WORKDIR]}
 WORK=${2:-/tmp/rdmnet_hard_tier}
-shift $(( $# > 2 ? 2 : $# ))
-CAL=("$@")
 
 # seeds 5150x: disjoint from 7351 (train), 4242 (12-scene), 31337 (stress),
 # 999/1000 (fresh evals), 1234 (FOV fine-tune)
@@ -48,13 +48,16 @@ for RUNG in mid low hard; do
             --enrich --dropout "${DROP[$RUNG]}" --step "${STEP[$RUNG]}" \
             ${FOV[$RUNG]} --seed "${SEED[$RUNG]}"
     fi
-    for VOTE in on auto; do
+    CAL=$(python -m rdmnet_tpu.cli.preprocess calibrate --root "$ROOT" | tail -1)
+    echo "rung $RUNG calibration: $CAL"
+    for VOTE in on off; do
         FEATS="$WORK/features_${RUNG}_$VOTE"
         python -m rdmnet_tpu.cli.test --dataset kitti --root "$ROOT" \
             --snapshot_dir "$SNAP" --feature_dir "$FEATS" \
-            --bucket_scale 0.7 --use_vote "$VOTE" "${CAL[@]}"
+            --bucket_scale 0.7 --use_vote "$VOTE" $CAL
         echo "== hard tier [$RUNG] vote=$VOTE =="
-        python -m rdmnet_tpu.cli.eval --feature_dir "$FEATS" --method lgr
+        python -m rdmnet_tpu.cli.eval --feature_dir "$FEATS" --method lgr \
+            --json_out "$FEATS/summary.json"
     done
 done
 

@@ -1,0 +1,102 @@
+"""Regression pin for the hard-tier discriminative benchmark (VERDICT r4 #1).
+
+Round 4 ended with every held-out eval saturated at RR 100%, so the
+accuracy axis could not detect regressions or improvements. The hard tier
+(scripts/run_hard_tier_eval.sh: enriched scene-novel pairs at three
+difficulty rungs) restores a failure tail; measured round-5 with the
+6-scene-curriculum snapshot (STATUS.md "Hard-tier benchmark"):
+
+    rung  vote-on RR / RRE / RTE        vote-off RR
+    mid   100%  / 0.282 deg / 11.2 cm   46.7%
+    low   83.3% / 0.546 deg / 22.2 cm   33.3%
+    hard  73.3% / 0.820 deg / 30.9 cm   56.7%
+
+with failures concentrated on low-overlap pairs (failed median overlap
+~0.33 vs ~0.74 accepted — scripts/hard_tier_breakdown.py), i.e. the
+intended hard regime rather than pipeline faults.
+
+This pin asserts FIXED bands (not artifact-supplied): floors catch
+accuracy regressions well below the RR cliff; the hard-rung ceiling
+asserts the benchmark stays discriminative — if a future model saturates
+it, the right response is adding a harder rung, and this test failing is
+the loud reminder. Skips when the sweep has not run on this machine
+(a trained full-scale snapshot + real-density eval need the chip); the
+self-contained accuracy pins live in test_vote_rescue.py /
+test_procedural.py.
+"""
+
+import glob
+import json
+import os
+import os.path as osp
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+WORK = os.environ.get("RDMNET_HARD_TIER_DIR", "/tmp/rdmnet_hard_tier")
+
+# fixed bands: ~1.5-2x headroom over the measured round-5 values above
+BANDS = {
+    "mid_on": {"rr_min": 1.0, "rre_max": 0.45, "rte_max": 0.20},
+    "low_on": {"rr_min": 0.70, "rre_max": 1.0, "rte_max": 0.40},
+    "hard_on": {"rr_min": 0.55, "rre_max": 1.5, "rte_max": 0.55},
+}
+HARD_SATURATION_CEILING = 0.97  # tier must keep a failure tail
+
+
+def _load(arm):
+    path = osp.join(WORK, f"features_{arm}", "summary.json")
+    if not osp.exists(path):
+        pytest.skip(
+            f"no hard-tier summary at {path}; run "
+            "scripts/run_hard_tier_eval.sh SNAPSHOT_DIR first"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("arm", sorted(BANDS))
+def test_hard_tier_bands(arm):
+    s = _load(arm)
+    b = BANDS[arm]
+    assert s["n_pairs"] >= 30, s["n_pairs"]
+    assert s["RR"] >= b["rr_min"], (arm, s["RR"])
+    assert s["RRE_deg"] is not None and s["RRE_deg"] <= b["rre_max"], (
+        arm, s["RRE_deg"])
+    assert s["RTE_m"] is not None and s["RTE_m"] <= b["rte_max"], (
+        arm, s["RTE_m"])
+
+
+def test_hard_rung_stays_discriminative():
+    """The benchmark's contract is a failure tail: if the hard rung
+    saturates, extend the tier (new rung in run_hard_tier_eval.sh) rather
+    than celebrating — a benchmark where everything passes measures
+    nothing (the round-4 lesson)."""
+    s = _load("hard_on")
+    assert s["RR"] <= HARD_SATURATION_CEILING, (
+        f"hard rung saturated at RR {s['RR']:.3f} — add a harder rung "
+        "(larger motion / narrower FOV / heavier clutter+dropout) to "
+        "restore the failure tail"
+    )
+
+
+def test_failures_are_low_overlap():
+    """Failed pairs must look like the intended hard regime: their overlap
+    distribution sits clearly below the accepted pairs' (pipeline faults
+    would fail pairs independent of overlap)."""
+    import numpy as np
+
+    fails, accs = [], []
+    for path in glob.glob(osp.join(WORK, "features_*_on", "summary.json")):
+        with open(path) as f:
+            s = json.load(f)
+        for p in s["per_pair"]:
+            if "overlap" not in p:
+                pytest.skip("summaries predate per-pair overlap stats")
+            (accs if p["rre"] < 5.0 and p["rte"] < 2.0 else fails).append(
+                p["overlap"])
+    if not fails:
+        pytest.skip("no failed pairs recorded (run the sweep first)")
+    assert np.median(fails) < 0.75 * np.median(accs), (
+        np.median(fails), np.median(accs))
