@@ -224,6 +224,26 @@ def make_forward(cfg: Config, model, with_gt: bool):
     return forward
 
 
+# the model-output keys trim_outputs actually consumes: fetching the WHOLE
+# out dict pulled every padded intermediate over the device link — dominated
+# by the (cap_f, output_dim) fine feature maps (~11 MB each at the 0.7
+# bucket) that the npz schema never uses; on the remote-TPU tunnel that
+# volume was the per-pair bottleneck of the whole cli/test loop (measured
+# 2.5-7 s/pair in the round-5 hard-tier sweep)
+_TRIM_KEYS = (
+    "ref_points_f", "src_points_f", "ref_mask_f", "src_mask_f",
+    "nodes_ref", "nodes_src", "nodes_ref_valid", "nodes_src_valid",
+    "ref_feats_c", "src_feats_c",
+    "node_corr_valid", "ref_node_corr_indices", "src_node_corr_indices",
+    "gt_node_corr_overlaps", "corr_scores", "ref_corr_points",
+    "src_corr_points", "estimated_transform",
+)
+_TRIM_VIS_KEYS = (
+    "ref_mask_c", "src_mask_c", "ref_points_c", "src_points_c",
+    "shifted_ref_points_c", "shifted_src_points_c",
+)
+
+
 def trim_outputs(out: Dict, transform: np.ndarray,
                  vis: bool = False) -> Dict[str, np.ndarray]:
     """Convert padded static outputs to the reference's dynamic npz schema
@@ -232,10 +252,14 @@ def trim_outputs(out: Dict, transform: np.ndarray,
     index + overlap lists. ``vis=True`` adds ``vis_*`` extras (original /
     shifted coarse nodes + NMS survivor masks) consumed by the --vis
     exports, never written to the npz dump."""
-    # ONE batched fetch: per-key np.asarray serializes a device round trip
-    # per array (measured +107 ms for 4 arrays on the remote-device link in
-    # serving.load_exported; this dict has ~20)
-    o = jax.device_get({k: v for k, v in out.items() if hasattr(v, "shape")})
+    # ONE batched fetch of ONLY the consumed keys: per-key np.asarray would
+    # serialize a device round trip per array (measured +107 ms for 4 arrays
+    # on the remote-device link in serving.load_exported), and fetching the
+    # full dict would ship the unused fine feature maps (see _TRIM_KEYS)
+    keys = _TRIM_KEYS + (_TRIM_VIS_KEYS if vis else ())
+    o = jax.device_get(
+        {k: out[k] for k in keys if k in out and hasattr(out[k], "shape")}
+    )
 
     ref_nv = o["nodes_ref_valid"]
     src_nv = o["nodes_src_valid"]
