@@ -67,5 +67,9 @@ python -m rdmnet_tpu.cli.test --dataset kitti --root "$ROOT" \
 echo "== enriched-trained on enriched held-out scenes =="
 python -m rdmnet_tpu.cli.eval --feature_dir "$FEATS" --method lgr \
     --json_out "$FEATS/summary.json"
+# bands at ~1.5x the measured r5 values (RR 100%, RRE 0.233 deg,
+# RTE 7.62 cm — STATUS.md round-5 realism 2x2)
+python scripts/check_eval_bands.py "$FEATS/summary.json" \
+    --rr_min 1.0 --rre_max 0.35 --rte_max 0.11
 
 echo "enriched-curriculum artifacts under $WORK"
