@@ -171,7 +171,10 @@ def build_model_and_params(
         )
 
         sd = load_torch_checkpoint(torch_checkpoint)
-        return model, {"params": convert_state_dict(sd)}
+        # commit to device once: host-resident params make EVERY jit call
+        # re-upload the full ~90 MB tree (measured 2290 -> 89 ms/pair on
+        # the remote link, round 5)
+        return model, jax.device_put({"params": convert_state_dict(sd)})
     rng = np.random.RandomState(0)
     pts = (rng.rand(256, 3) * 10).astype(np.float32)
 
@@ -186,7 +189,11 @@ def build_model_and_params(
         # mismatch that broke `rdmnet-test` on a grad_acc-4 run
         mgr = CheckpointManager(snapshot_dir)
         params = mgr.restore_params(step=epoch)
-        return model, params
+        # orbax restores HOST numpy arrays; without an explicit device
+        # commit every jitted eval call re-uploads the whole param tree
+        # (~90 MB) — measured 2290 ms/pair vs 89 ms committed, the entire
+        # cli/test `proc` mystery of rounds 3-5
+        return model, jax.device_put(params)
 
     @jax.jit
     def _init(key):

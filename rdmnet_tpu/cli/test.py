@@ -314,7 +314,7 @@ def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
         log(
             f"[{n_done}/{len(indices)}] {name} | "
             + ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
-            + f" | prep {timer.prepare_time():.3f}s proc {timer.process_time():.3f}s"
+            + f" | prep {timer.last_prepare():.3f}s proc {timer.last_process():.3f}s"
             + bucket
         )
 

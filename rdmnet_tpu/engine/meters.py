@@ -95,15 +95,27 @@ class Timer:
 
     def record_prepare(self):
         now = time.perf_counter()
-        self._prepare_total += now - self._last
+        self._prepare_last = now - self._last
+        self._prepare_total += self._prepare_last
         self._prepare_count += 1
         self._last = now
 
     def record_process(self):
         now = time.perf_counter()
-        self._process_total += now - self._last
+        self._process_last = now - self._last
+        self._process_total += self._process_last
         self._process_count += 1
         self._last = now
+
+    # last-interval readouts: the cumulative means below fold the first
+    # pair's COMPILE into every subsequent display (a ~100 s compile over
+    # 30 pairs reads as +3.3 s/pair forever) — which masked the real
+    # steady-state rate of the offline eval loop for three rounds
+    def last_prepare(self) -> float:
+        return getattr(self, "_prepare_last", 0.0)
+
+    def last_process(self) -> float:
+        return getattr(self, "_process_last", 0.0)
 
     def prepare_time(self) -> float:
         return self._prepare_total / max(self._prepare_count, 1)
