@@ -29,13 +29,22 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
-def mean_pir(cfg, model, params, dataset, indices):
+def mean_pir(cfg, params, dataset, indices):
     import jax
 
     from rdmnet_tpu.cli.common import pad_pair_np
     from rdmnet_tpu.cli.test import _make_eval_forward
     from rdmnet_tpu.losses import Evaluator
+    from rdmnet_tpu.models import RDMNet
 
+    # the vote knob gates the MODEL's own node-selection branch
+    # (models/rdmnet.py use_vote), so each arm must REBUILD the model from
+    # its toggled cfg — exactly what cli/test.py main does. Passing one
+    # prebuilt model with per-arm cfgs silently evaluated vote-ON twice
+    # (caught round 5: on == off == 0.4045 bit-for-bit; the same
+    # stale-model trap exists in engine.make_eval_step, see
+    # tests/test_vote_rescue.py self-contained pin)
+    model = RDMNet(cfg)
     forward = _make_eval_forward(cfg, model, Evaluator(cfg))
     pirs = []
     for i in indices:
@@ -75,12 +84,12 @@ def main():
         point_limit=cfg.test.point_limit,
     )
     indices = list(range(len(dataset)))[: args.pairs]
-    model, params = build_model_and_params(cfg, args.snapshot_dir)
+    _, params = build_model_and_params(cfg, args.snapshot_dir)
 
     cfg_on = cfg.replace(vote=dataclasses.replace(cfg.vote, inference_use_vote=True))
     cfg_off = cfg.replace(vote=dataclasses.replace(cfg.vote, inference_use_vote=False))
-    pir_on, on_list = mean_pir(cfg_on, model, params, dataset, indices)
-    pir_off, off_list = mean_pir(cfg_off, model, params, dataset, indices)
+    pir_on, on_list = mean_pir(cfg_on, params, dataset, indices)
+    pir_off, off_list = mean_pir(cfg_off, params, dataset, indices)
 
     record = {
         "snapshot_dir": osp.abspath(args.snapshot_dir),
