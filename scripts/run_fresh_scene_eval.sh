@@ -9,7 +9,7 @@
 # Usage: bash scripts/run_fresh_scene_eval.sh [SNAPSHOT_DIR] [WORKDIR] [SEED...]
 set -euo pipefail
 
-SNAP=${1:-/tmp/rdmnet_proc_r3/run_aug/snapshots_best}
+SNAP=${1:-/tmp/rdmnet_proc_r5/run_aug/snapshots_best}
 WORK=${2:-/tmp/rdmnet_fresh_eval}
 shift $(( $# > 2 ? 2 : $# )) || true
 SEEDS=("${@:-}")
@@ -17,7 +17,7 @@ if [ -z "${SEEDS[*]}" ]; then SEEDS=(999 1000); fi
 TEST_FRAMES=11
 
 # the capacities the deployed model was calibrated with (its training root)
-CAL=$(python -m rdmnet_tpu.cli.preprocess calibrate --root /tmp/rdmnet_proc_r3/data | tail -1)
+CAL=$(python -m rdmnet_tpu.cli.preprocess calibrate --root /tmp/rdmnet_proc_r5/data | tail -1)
 echo "deployed calibration: $CAL"
 
 for SEED in "${SEEDS[@]}"; do
