@@ -33,13 +33,18 @@ SNAP=${1:?usage: run_hard_tier_eval.sh SNAPSHOT_DIR [WORKDIR]}
 WORK=${2:-/tmp/rdmnet_hard_tier}
 
 # seeds 5150x: disjoint from 7351 (train), 4242 (12-scene), 31337 (stress),
-# 999/1000 (fresh evals), 1234 (FOV fine-tune)
-declare -A STEP=( [mid]=10 [low]=14 [hard]=16 )
-declare -A FOV=(  [mid]="" [low]="--fov_deg 300" [hard]="--fov_deg 290" )
-declare -A DROP=( [mid]=0.2 [low]=0.25 [hard]=0.3 )
-declare -A SEED=( [mid]=51501 [low]=51502 [hard]=51503 )
+# 999/1000 (fresh evals), 1234 (FOV fine-tune), 97531 (hard-tier fine-tune).
+# The "extreme" rung (18 m motion + 270-deg FOV + dropout 0.35, overlap
+# ~15%) exists because the enriched+FOV fine-tuned snapshot reached 93.3%
+# RR on "hard" — one pair from the saturation ceiling — so the escalation
+# contract (tests/test_hard_tier.py) demanded a harder rung pre-emptively.
+declare -A STEP=( [mid]=10 [low]=14 [hard]=16 [extreme]=18 )
+declare -A FOV=(  [mid]="" [low]="--fov_deg 300" [hard]="--fov_deg 290"
+                  [extreme]="--fov_deg 270" )
+declare -A DROP=( [mid]=0.2 [low]=0.25 [hard]=0.3 [extreme]=0.35 )
+declare -A SEED=( [mid]=51501 [low]=51502 [hard]=51503 [extreme]=51504 )
 
-for RUNG in mid low hard; do
+for RUNG in mid low hard extreme; do
     ROOT="$WORK/data_$RUNG"
     if [ ! -d "$ROOT" ]; then
         # eval-only root: 3 test scenes x 10 pairs (train/val stubs minimal)

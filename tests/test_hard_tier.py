@@ -37,10 +37,15 @@ pytestmark = pytest.mark.slow
 WORK = os.environ.get("RDMNET_HARD_TIER_DIR", "/tmp/rdmnet_hard_tier")
 
 # fixed bands: ~1.5-2x headroom over the measured round-5 values above
+# (extreme added when the fine-tuned snapshot neared the hard-rung
+# ceiling; its floors sit under the PLAIN baseline's 43.3% / 1.90 deg /
+# 60 cm so every current snapshot passes while regressions below the
+# weakest baseline still fail)
 BANDS = {
     "mid_on": {"rr_min": 1.0, "rre_max": 0.45, "rte_max": 0.20},
     "low_on": {"rr_min": 0.70, "rre_max": 1.0, "rte_max": 0.40},
     "hard_on": {"rr_min": 0.55, "rre_max": 1.5, "rte_max": 0.55},
+    "extreme_on": {"rr_min": 0.35, "rre_max": 3.0, "rte_max": 0.90},
 }
 HARD_SATURATION_CEILING = 0.97  # tier must keep a failure tail
 
@@ -68,16 +73,27 @@ def test_hard_tier_bands(arm):
         arm, s["RTE_m"])
 
 
-def test_hard_rung_stays_discriminative():
-    """The benchmark's contract is a failure tail: if the hard rung
+def test_top_rung_stays_discriminative():
+    """The benchmark's contract is a failure tail: if the TOP rung
     saturates, extend the tier (new rung in run_hard_tier_eval.sh) rather
     than celebrating — a benchmark where everything passes measures
-    nothing (the round-4 lesson)."""
-    s = _load("hard_on")
+    nothing (the round-4 lesson). Exercised for real in round 5: the
+    enriched+FOV fine-tuned snapshot hit RR 93.3% on "hard" (one pair
+    from this ceiling), which forced the "extreme" rung (18 m + 270-deg
+    FOV + dropout 0.35, ~15% overlap) where it scores 73.3% — headroom
+    restored. The check runs on the hardest rung present in the sweep."""
+    for arm in ("extreme_on", "hard_on"):
+        path = osp.join(WORK, f"features_{arm}", "summary.json")
+        if osp.exists(path):
+            with open(path) as f:
+                s = json.load(f)
+            break
+    else:
+        pytest.skip("no hard-tier summaries; run the sweep first")
     assert s["RR"] <= HARD_SATURATION_CEILING, (
-        f"hard rung saturated at RR {s['RR']:.3f} — add a harder rung "
-        "(larger motion / narrower FOV / heavier clutter+dropout) to "
-        "restore the failure tail"
+        f"top rung ({arm}) saturated at RR {s['RR']:.3f} — add a harder "
+        "rung (larger motion / narrower FOV / heavier clutter+dropout) "
+        "to restore the failure tail"
     )
 
 
