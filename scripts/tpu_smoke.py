@@ -93,10 +93,24 @@ def main():
             - scan[None, :S_CAP, :].astype(np.float64)) ** 2).sum(-1)
     d64[:, S_COUNT:] = np.inf  # invalid support rows
     r2 = float(radius) ** 2
-    # expanded-form f32 rounding scale: eps32 * (q2 + 2|qs| + s2) ~ 1e-3
-    # at these coordinates (|p| up to ~40 m); observed cross-path flips
-    # are ~2e-4
-    tol = 1e-3
+    # tie tolerance = the rounding bound of the jnp path's ACTUAL compute:
+    # the qs matmul runs at Precision.HIGH (bf16x3,
+    # ops/radius_search.py:37), effective unit roundoff ~2^-18, applied to
+    # the expanded q2 - 2qs + s2 form at the operands' true magnitudes.
+    # At this scan's extent (|s| up to ~86 m) that is ~4e-2 m^2 — sub-cm
+    # in DISTANCE at these ranges, so only physically-tied neighbors can
+    # reorder. A fixed 1e-3 (calibrated on an older toolchain at "~40 m")
+    # flagged 198/2048 rows of exactly these rounding-scale order flips
+    # after the 2026-08 toolchain update (worst observed 8.8e-3; the
+    # neighbor SETS were correct; the pallas kernel squares differences
+    # directly, error ~eps32*d2 ~ 3e-6, and passes at any sane tol). The
+    # r2-bug class this check exists for — a SINGLE-pass bf16 distance
+    # matrix — errs at ~2^-8 * |qs| ~ 10 m^2 here, 250x this bound, so
+    # the contract still catches it loudly.
+    eps_high = 2.0 ** -18  # bf16x3 effective unit roundoff
+    q2max = float((scan[:N_Q] ** 2).sum(-1).max())
+    s2max = float((scan[:S_CAP] ** 2).sum(-1).max())
+    tol = eps_high * (q2max + 2 * np.sqrt(q2max * s2max) + s2max)
 
     def knn_violations(res, sentinel):
         """Count rows violating the exact in-radius top-k contract.
