@@ -113,6 +113,36 @@ def test_procedural_cli_kitti_layout(tmp_path):
     assert a.shape != b.shape or not np.allclose(a, b)
 
 
+def test_procedural_cli_enrich_flags(tmp_path):
+    """--enrich/--dropout plumb through the CLI into the generator: the
+    enriched root differs from the plain same-seed root, loads through the
+    dataset layer, and its GT still aligns overlapping structure (the
+    hard-tier and enriched-curriculum recipes ride exactly this path)."""
+    from rdmnet_tpu.data.datasets import RegistrationPairDataset
+
+    roots = {}
+    for name, extra in (("plain", []),
+                        ("enriched", ["--enrich", "--dropout", "0.25"])):
+        root = tmp_path / name
+        subprocess.run(
+            [sys.executable, SCRIPT, "--out", str(root), "--procedural", "1",
+             "--frames", "2", "--val_frames", "2", "--test_frames", "2",
+             "--rings", "16", "--azimuths", "256"] + extra,
+            check=True,
+        )
+        roots[name] = root
+    a = np.load(str(roots["plain"] / "downsampled_xyzi" / "00" / "000000.npy"))
+    b = np.load(str(roots["enriched"] / "downsampled_xyzi" / "00" /
+                    "000000.npy"))
+    assert a.shape != b.shape or not np.allclose(a, b)
+    ds = RegistrationPairDataset("kitti", str(roots["enriched"]), "train",
+                                 use_augmentation=False)
+    item = ds[0]
+    aligned = (item["src_points"] @ item["transform"][:3, :3].T
+               + item["transform"][:3, 3])
+    assert np.median(_nn_dist(aligned, item["ref_points"])) < 1.0
+
+
 def test_procedural_cli_seed_controls_scene_identity(tmp_path):
     """--seed reproduces a root bit-for-bit and a DIFFERENT seed yields
     disjoint scene geometry — the guarantee run_fov_finetune.sh relies on
