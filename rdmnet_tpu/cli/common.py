@@ -157,12 +157,21 @@ def make_cli_cfg(args) -> Config:
 
 def build_model_and_params(
     cfg: Config, snapshot_dir: Optional[str] = None, epoch: Optional[int] = None,
-    torch_checkpoint: Optional[str] = None,
+    torch_checkpoint: Optional[str] = None, commit_to_device: bool = True,
 ):
     """Create the model; load params from a snapshot if given, else random
     init (reference testers resolve snapshots by epoch,
     base_tester.py:54-58). ``torch_checkpoint`` loads a reference .pth.tar
-    through utils/torch_convert — use with config.make_parity_cfg()."""
+    through utils/torch_convert — use with config.make_parity_cfg().
+
+    ``commit_to_device``: device_put the restored params once — required
+    before any jitted eval loop (host-resident params re-upload the full
+    ~90 MB tree on EVERY call: measured 2290 -> 89 ms/pair on the remote
+    link, round 5). Pass False from host-only consumers (cli/convert
+    import/export), where an upload + per-leaf fetch-back would be pure
+    round-trip waste.
+    """
+    commit = jax.device_put if commit_to_device else (lambda x: x)
     model = RDMNet(cfg)
     if torch_checkpoint:
         from rdmnet_tpu.utils.torch_convert import (
@@ -171,10 +180,7 @@ def build_model_and_params(
         )
 
         sd = load_torch_checkpoint(torch_checkpoint)
-        # commit to device once: host-resident params make EVERY jit call
-        # re-upload the full ~90 MB tree (measured 2290 -> 89 ms/pair on
-        # the remote link, round 5)
-        return model, jax.device_put({"params": convert_state_dict(sd)})
+        return model, commit({"params": convert_state_dict(sd)})
     rng = np.random.RandomState(0)
     pts = (rng.rand(256, 3) * 10).astype(np.float32)
 
@@ -189,11 +195,11 @@ def build_model_and_params(
         # mismatch that broke `rdmnet-test` on a grad_acc-4 run
         mgr = CheckpointManager(snapshot_dir)
         params = mgr.restore_params(step=epoch)
-        # orbax restores HOST numpy arrays; without an explicit device
-        # commit every jitted eval call re-uploads the whole param tree
-        # (~90 MB) — measured 2290 ms/pair vs 89 ms committed, the entire
-        # cli/test `proc` mystery of rounds 3-5
-        return model, jax.device_put(params)
+        # orbax restores HOST numpy arrays; without the device commit every
+        # jitted eval call re-uploads the whole param tree (~90 MB) —
+        # measured 2290 ms/pair vs 89 ms committed, the entire cli/test
+        # `proc` mystery of rounds 3-5
+        return model, commit(params)
 
     @jax.jit
     def _init(key):

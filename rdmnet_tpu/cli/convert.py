@@ -54,7 +54,12 @@ def convert_checkpoint(cfg, torch_checkpoint: str, output_dir: str,
     if epoch is None:
         epoch = int(blob.get("epoch", 0)) if isinstance(blob, dict) else 0
 
-    model, params = build_model_and_params(cfg, torch_checkpoint=torch_checkpoint)
+    # host-only conversion: no jitted eval follows, so skip the device
+    # commit (it would upload ~90 MB to the remote TPU only for the orbax
+    # save below to fetch it straight back)
+    model, params = build_model_and_params(
+        cfg, torch_checkpoint=torch_checkpoint, commit_to_device=False
+    )
     # wrap in a TrainState (fresh optimizer state) so the standard
     # snapshot-restore path (cli/common.build_model_and_params) consumes it
     tx, _ = create_optimizer(cfg, steps_per_epoch=1000)
@@ -90,7 +95,10 @@ def export_checkpoint(cfg, snapshot_dir: str, schema_path: str,
     from rdmnet_tpu.cli.common import build_model_and_params
     from rdmnet_tpu.utils.torch_convert import export_state_dict, load_torch_checkpoint
 
-    _, params = build_model_and_params(cfg, snapshot_dir, epoch)
+    # host-only export: torch consumes the tree leaf-by-leaf on the host,
+    # so a device commit would turn it into per-leaf tunnel round trips
+    _, params = build_model_and_params(cfg, snapshot_dir, epoch,
+                                       commit_to_device=False)
     schema = {
         k: tuple(v.shape) for k, v in load_torch_checkpoint(schema_path).items()
     }

@@ -284,7 +284,7 @@ def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
     writes = []
 
     def finalize(pending, n_done):
-        out, metrics, item, trunc0, cap = pending
+        out, metrics, item, trunc0, cap, prep_s, proc_s = pending
         # one batched fetch (per-key float() would round-trip per scalar)
         metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
         metrics["dropped"] += trunc0
@@ -314,7 +314,7 @@ def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
         log(
             f"[{n_done}/{len(indices)}] {name} | "
             + ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
-            + f" | prep {timer.last_prepare():.3f}s proc {timer.last_process():.3f}s"
+            + f" | prep {prep_s:.3f}s proc {proc_s:.3f}s"
             + bucket
         )
 
@@ -332,7 +332,12 @@ def run_eval_loop(cfg, model, params, dataset, indices, feature_dir,
         timer.record_process()
         if pending is not None:
             finalize(pending, n_done)
-        pending = (out, metrics, item, trunc0, caps[bi])
+        # the pair's OWN last-interval times ride with it so finalize (which
+        # runs one iteration later, double-buffered) logs them on the right
+        # line — reading the timer at log time would print the NEXT pair's
+        # intervals under this pair's name/bucket
+        pending = (out, metrics, item, trunc0, caps[bi],
+                   timer.last_prepare(), timer.last_process())
     if pending is not None:
         finalize(pending, len(indices))
     for w in writes:

@@ -47,6 +47,21 @@ class Terrain(NamedTuple):
                                         + self.phase), axis=-1)
 
 
+def _centerline_y(params, x):
+    """Corridor centerline y_c(x) = A sin(k x + phi); ``params`` = (A, k,
+    phi). Single source of truth — make_scene seats primitives/clutter and
+    trajectory() steers with the SAME formula, so changing the
+    parameterization in one place moves everything together."""
+    a, k, phi = params
+    return a * np.sin(k * np.asarray(x, np.float64) + phi)
+
+
+def _centerline_heading(params, x):
+    """Tangent heading of the centerline at x (radians)."""
+    a, k, phi = params
+    return np.arctan(a * k * np.cos(k * np.asarray(x, np.float64) + phi))
+
+
 class Scene(NamedTuple):
     """Primitive soup. boxes: (K, 6) cx, cy, yaw, half_w, half_d, height
     (z from 0); cylinders: (M, 4) cx, cy, radius, height. Ground plane z=0
@@ -66,12 +81,10 @@ class Scene(NamedTuple):
     centerline: np.ndarray = np.zeros(3)
 
     def centerline_y(self, x):
-        a, k, phi = self.centerline
-        return a * np.sin(k * np.asarray(x, np.float64) + phi)
+        return _centerline_y(self.centerline, x)
 
     def centerline_heading(self, x):
-        a, k, phi = self.centerline
-        return np.arctan(a * k * np.cos(k * np.asarray(x, np.float64) + phi))
+        return _centerline_heading(self.centerline, x)
 
     def ground_z(self, x, y):
         if self.terrain is None:
@@ -126,16 +139,12 @@ def make_scene(
     amp = rng.uniform(4.0, 10.0)
     wavelength = rng.uniform(90.0, 150.0)
     centerline = np.array([amp, 2.0 * np.pi / wavelength, rng.uniform(0, 2 * np.pi)])
-    a_c, k_c, phi_c = centerline
-
-    def y_c(x):
-        return a_c * np.sin(k_c * x + phi_c)
 
     # re-seat the straight-corridor primitives onto the curve (offsets were
     # drawn relative to a straight centerline; shifting by y_c keeps the
     # drawn clearances while the corridor bends)
-    boxes[:, 1] += y_c(boxes[:, 0])
-    cyls[:, 1] += y_c(cyls[:, 0])
+    boxes[:, 1] += _centerline_y(centerline, boxes[:, 0])
+    cyls[:, 1] += _centerline_y(centerline, cyls[:, 0])
 
     # rolling ground: 3 octaves, max slope ~0.13 (gentle road terrain)
     octaves = []
@@ -155,12 +164,12 @@ def make_scene(
     for i in range(n_clutter):
         cx = rng.uniform(-10.0, corridor_length + 10.0)
         lat = rng.choice([-1.0, 1.0]) * rng.uniform(3.4, corridor_half_width - 0.4)
-        heading = np.arctan(a_c * k_c * np.cos(k_c * cx + phi_c))
-        yaw = heading + np.deg2rad(rng.uniform(-8.0, 8.0))
+        yaw = float(_centerline_heading(centerline, cx)) \
+            + np.deg2rad(rng.uniform(-8.0, 8.0))
         half_w = rng.uniform(0.45, 1.0)   # lateral half extent
         half_d = rng.uniform(0.7, 2.3)    # along-corridor half extent
-        clutter[i] = [cx, y_c(cx) + lat, yaw, half_d, half_w,
-                      rng.uniform(0.8, 2.0)]
+        clutter[i] = [cx, float(_centerline_y(centerline, cx)) + lat, yaw,
+                      half_d, half_w, rng.uniform(0.8, 2.0)]
     return Scene(boxes=boxes, cylinders=cyls, clutter=clutter,
                  terrain=terrain, centerline=centerline)
 

@@ -88,6 +88,8 @@ class Timer:
         self._process_total = 0.0
         self._prepare_count = 0
         self._process_count = 0
+        self._prepare_last = 0.0
+        self._process_last = 0.0
         self._last = time.perf_counter()
 
     def tic(self):
@@ -112,10 +114,10 @@ class Timer:
     # 30 pairs reads as +3.3 s/pair forever) — which masked the real
     # steady-state rate of the offline eval loop for three rounds
     def last_prepare(self) -> float:
-        return getattr(self, "_prepare_last", 0.0)
+        return self._prepare_last
 
     def last_process(self) -> float:
-        return getattr(self, "_process_last", 0.0)
+        return self._process_last
 
     def prepare_time(self) -> float:
         return self._prepare_total / max(self._prepare_count, 1)
